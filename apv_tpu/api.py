@@ -1,0 +1,104 @@
+"""Public API: train / evaluate / sample / ood_score (SURVEY.md §0.1
+"Public API mirrors the reference's train / evaluate / sample entry points").
+
+Each function is config-driven (preset name or Config object + dot-path
+overrides) and consumes/produces the shared orbax checkpoint format.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+
+from apv_tpu.utils.config import Config, apply_overrides, get_preset
+
+
+def _resolve(config: str | Config, overrides: list[str] | None) -> Config:
+    cfg = get_preset(config) if isinstance(config, str) else config
+    return apply_overrides(cfg, overrides or [])
+
+
+def _restore_state(cfg: Config, checkpoint_dir: str | None = None):
+    from apv_tpu.train.step import make_train_fns
+    from apv_tpu.utils import checkpoint as ckpt
+
+    fns = make_train_fns(cfg)
+    template = jax.eval_shape(fns.init_fn, jax.random.PRNGKey(0))
+    ckpt_dir = (Path(checkpoint_dir) if checkpoint_dir
+                else Path(cfg.results_dir) / cfg.name / "checkpoints")
+    return ckpt.restore_checkpoint(ckpt_dir, template)
+
+
+def train(config: str | Config = "mnist_vae", *,
+          overrides: list[str] | None = None, resume: bool = False,
+          max_steps: int | None = None, trace_dir: str | None = None):
+    """Train the configured model; returns the final TrainState."""
+    from apv_tpu.train import train_loop
+    cfg = _resolve(config, overrides)
+    return train_loop(cfg, resume=resume, max_steps=max_steps,
+                      trace_dir=trace_dir)
+
+
+def evaluate(config: str | Config = "iwae_eval", *,
+             overrides: list[str] | None = None,
+             checkpoint_dir: str | None = None, dataset: str | None = None,
+             k: int | None = None, per_sample: bool = False) -> dict:
+    """IWAE-k test NLL + bits/dim for a trained checkpoint."""
+    from apv_tpu.eval.run import evaluate_nll
+    from apv_tpu.utils.logging import MetricLogger
+
+    cfg = _resolve(config, overrides)
+    state = _restore_state(cfg, checkpoint_dir)
+    result = evaluate_nll(cfg, state.params,
+                          state.d_params if cfg.adversarial.enabled else None,
+                          dataset=dataset, k=k, per_sample=per_sample)
+    out = {k_: v for k_, v in result.items() if k_ != "per_sample"}
+    MetricLogger(Path(cfg.results_dir) / cfg.name).write_json(
+        "eval.json", out)
+    return result
+
+
+def sample(config: str | Config = "mnist_vae", *,
+           overrides: list[str] | None = None,
+           checkpoint_dir: str | None = None, n: int = 64,
+           mode: str = "mean", seed: int = 0,
+           out_path: str | None = None):
+    """Decode n prior samples; writes a PNG grid, returns the images."""
+    from apv_tpu.models import LatentDiscriminator, build_model
+    from apv_tpu.sample import generate_samples, save_image_grid
+
+    cfg = _resolve(config, overrides)
+    state = _restore_state(cfg, checkpoint_dir)
+    model = build_model(cfg.model)
+    d_apply = d_params = None
+    if cfg.adversarial.enabled:
+        disc = LatentDiscriminator(tuple(cfg.adversarial.d_widths))
+
+        def d_apply(dp, z):
+            return disc.apply({"params": dp}, z)
+        d_params = state.d_params
+    images = generate_samples(model, state.params, jax.random.PRNGKey(seed),
+                              n, cfg.model.z_dim, cfg.model.likelihood,
+                              cfg.model.image_shape[2], d_apply=d_apply,
+                              d_params=d_params, mode=mode)
+    path = out_path or Path(cfg.results_dir) / cfg.name / "samples.png"
+    save_image_grid(images, path)
+    return images
+
+
+def ood_score(config: str | Config = "ood_suite", *,
+              overrides: list[str] | None = None,
+              checkpoint_dir: str | None = None, seed: int = 0) -> dict:
+    """Run the OOD scoring suite for the configured dataset pair."""
+    from apv_tpu.eval.ood import ood_scores
+    from apv_tpu.utils.logging import MetricLogger
+
+    cfg = _resolve(config, overrides)
+    state = _restore_state(cfg, checkpoint_dir)
+    result = ood_scores(cfg, state.params,
+                        state.d_params if cfg.adversarial.enabled else None,
+                        seed=seed)
+    MetricLogger(Path(cfg.results_dir) / cfg.name).write_json(
+        "ood.json", result)
+    return result

@@ -1,0 +1,78 @@
+"""CLI: ``apv {train,evaluate,sample,ood} --preset <name> [--set k=v ...]``
+(SURVEY.md §1 L7 — the reference's per-experiment script + flags tier).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser, default_preset: str) -> None:
+    p.add_argument("--preset", default=default_preset,
+                   help="named config preset (one of the five reference "
+                        "configs)")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="PATH=VALUE",
+                   help="dot-path config override, e.g. train.lr=3e-4")
+    p.add_argument("--checkpoint-dir", default=None)
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="apv", description="TPU-native adversarial-prior VAE framework")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="train a model")
+    _add_common(p_train, "mnist_vae")
+    p_train.add_argument("--resume", action="store_true")
+    p_train.add_argument("--max-steps", type=int, default=None)
+    p_train.add_argument("--trace-dir", default=None,
+                         help="enable jax.profiler traces into this dir")
+
+    p_eval = sub.add_parser("evaluate", help="IWAE-k NLL + bits/dim")
+    _add_common(p_eval, "iwae_eval")
+    p_eval.add_argument("--dataset", default=None)
+    p_eval.add_argument("--k", type=int, default=None)
+
+    p_sample = sub.add_parser("sample", help="decode prior samples to a grid")
+    _add_common(p_sample, "mnist_vae")
+    p_sample.add_argument("-n", type=int, default=64)
+    p_sample.add_argument("--mode", choices=("mean", "sample"),
+                          default="mean")
+    p_sample.add_argument("--seed", type=int, default=0)
+    p_sample.add_argument("--out", default=None)
+
+    p_ood = sub.add_parser("ood", help="OOD scoring suite")
+    _add_common(p_ood, "ood_suite")
+    p_ood.add_argument("--seed", type=int, default=0)
+
+    args = parser.parse_args(argv)
+    import apv_tpu as api
+
+    if args.command == "train":
+        state = api.train(args.preset, overrides=args.overrides,
+                          resume=args.resume, max_steps=args.max_steps,
+                          trace_dir=args.trace_dir)
+        print(f"trained to step {int(state.step)}")
+    elif args.command == "evaluate":
+        result = api.evaluate(args.preset, overrides=args.overrides,
+                              checkpoint_dir=args.checkpoint_dir,
+                              dataset=args.dataset, k=args.k)
+        print(json.dumps(result, indent=2))
+    elif args.command == "sample":
+        api.sample(args.preset, overrides=args.overrides,
+                   checkpoint_dir=args.checkpoint_dir, n=args.n,
+                   mode=args.mode, seed=args.seed, out_path=args.out)
+        print("wrote sample grid")
+    elif args.command == "ood":
+        result = api.ood_score(args.preset, overrides=args.overrides,
+                               checkpoint_dir=args.checkpoint_dir,
+                               seed=args.seed)
+        print(json.dumps(result, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,89 @@
+"""Host→HBM batch pipeline (SURVEY.md §2.1 "Minibatch iterator").
+
+The reference fed every step through a feed_dict host sync (SURVEY.md §3.1);
+here batches are cut on the host by a cheap numpy gather and moved to device
+*ahead of compute*: ``prefetch_to_device`` keeps ``depth`` batches in flight
+as committed jax.Arrays (sharded over the mesh's data axis), so the TPU never
+waits on PCIe for the next batch.
+"""
+
+from __future__ import annotations
+
+import collections
+import itertools
+from typing import Iterable, Iterator
+
+import jax
+import numpy as np
+
+
+class Batcher:
+    """Shuffled epoch batching over in-memory numpy arrays.
+
+    Yields dict batches of equal ``batch_size`` (remainder dropped — static
+    shapes keep XLA from recompiling; SURVEY.md "XLA semantics").
+    """
+
+    def __init__(self, arrays: dict[str, np.ndarray], batch_size: int, *,
+                 shuffle: bool = True, seed: int = 0, drop_remainder: bool = True):
+        sizes = {k: len(v) for k, v in arrays.items()}
+        if len(set(sizes.values())) != 1:
+            raise ValueError(f"array length mismatch: {sizes}")
+        self.arrays = arrays
+        self.n = next(iter(sizes.values()))
+        if batch_size > self.n:
+            raise ValueError(f"batch_size {batch_size} > dataset size {self.n}")
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
+        self._rng = np.random.default_rng(seed)
+
+    @property
+    def batches_per_epoch(self) -> int:
+        if self.drop_remainder:
+            return self.n // self.batch_size
+        return -(-self.n // self.batch_size)
+
+    def epoch(self) -> Iterator[dict[str, np.ndarray]]:
+        idx = np.arange(self.n)
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        stop = (self.n // self.batch_size) * self.batch_size \
+            if self.drop_remainder else self.n
+        for start in range(0, stop, self.batch_size):
+            sel = idx[start:start + self.batch_size]
+            yield {k: v[sel] for k, v in self.arrays.items()}
+
+    def __iter__(self):
+        """Infinite stream of batches across epochs (training)."""
+        while True:
+            yield from self.epoch()
+
+
+def prefetch_to_device(it: Iterable[dict[str, np.ndarray]],
+                       sharding: jax.sharding.Sharding | None = None,
+                       depth: int = 2) -> Iterator[dict[str, jax.Array]]:
+    """Move batches host→HBM ``depth`` steps ahead of the consumer.
+
+    ``jax.device_put`` is async; holding a deque of ``depth`` already-put
+    batches overlaps the host gather + PCIe/ICI transfer of batch t+depth
+    with the TPU compute of batch t. With a NamedSharding over the data
+    axis each device receives only its shard.
+    """
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+
+    def put(batch):
+        if sharding is None:
+            return jax.device_put(batch)
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+    queue: collections.deque = collections.deque()
+    it = iter(it)
+    for batch in itertools.islice(it, depth):
+        queue.append(put(batch))
+    while queue:
+        nxt = next(it, None)
+        if nxt is not None:
+            queue.append(put(nxt))
+        yield queue.popleft()

@@ -1,0 +1,86 @@
+"""IWAE-k evaluation at scale (SURVEY.md §3.3 — the compute hot path).
+
+Per test batch: one encoder pass, then the k=1000 importance samples stream
+through a ``lax.scan`` in chunks (fresh z + decoder forward per chunk,
+running streaming-logsumexp state — peak memory is ONE chunk of decoder
+activations). The batch axis is sharded over the mesh's data axis, so chips
+split the test set while each streams its own k axis; with
+``k_devices > 1`` (``shard_k=True``) the k axis itself is sharded and merged
+with a final cross-chip logsumexp — the workload's analogue of
+long-axis/sequence parallelism (SURVEY.md §5).
+
+With the adversarial learned prior, log p*(z) = log p0(z) + D(z) - log Z;
+``estimate_log_partition`` MC-estimates log Z = log E_{p0}[e^{D(z)}].
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from apv_tpu.core import distributions as D
+from apv_tpu.core.iwae import iwae_log_likelihood
+from apv_tpu.train.losses import recon_log_likelihood
+
+
+def make_iwae_fn(model, likelihood: str, k: int, chunk: int,
+                 d_apply: Callable | None = None) -> Callable:
+    """Build ``fn(params, d_params, x_in, x_target, key, log_z) -> [B]``.
+
+    ``d_apply`` non-None switches the prior to the adversarially-shaped
+    p*(z) ∝ p0(z)·e^{D(z)} (pass the matching ``log_z``; 0.0 gives scores
+    up to the constant — fine for ratios/AUROC).
+    """
+
+    def encode(params, x):
+        return model.apply({"params": params}, x, method="encode")
+
+    def decode(params, z):
+        return model.apply({"params": params}, z, method="decode")
+
+    def iwae_fn(params, d_params, x_in, x_target, key, log_z=0.0):
+        mean, logvar = encode(params, x_in)          # [B, Z], once
+        b = mean.shape[0]
+
+        def logw_fn(chunk_key):
+            z = D.gaussian_sample(chunk_key, mean, logvar,
+                                  sample_shape=(chunk,))   # [chunk, B, Z]
+            zf = z.reshape(chunk * b, -1)
+            out = decode(params, zf)
+            xt = jnp.broadcast_to(x_target[None], (chunk,) + x_target.shape)
+            recon = recon_log_likelihood(
+                xt.reshape((chunk * b,) + x_target.shape[1:]), out,
+                likelihood).reshape(chunk, b)
+            logp0 = jnp.sum(D.standard_gaussian_logpdf(z), axis=-1)
+            logq = jnp.sum(D.gaussian_logpdf(z, mean, logvar), axis=-1)
+            logw = recon + logp0 - logq
+            if d_apply is not None:
+                logw = logw + d_apply(d_params, zf).reshape(chunk, b) - log_z
+            return logw
+
+        return iwae_log_likelihood(logw_fn, key, k=k, chunk_size=chunk,
+                                   out_shape=(b,))
+
+    return iwae_fn
+
+
+def estimate_log_partition(d_apply: Callable, d_params: Any, z_dim: int,
+                           key: jax.Array, n: int = 100_000,
+                           batch: int = 10_000) -> jax.Array:
+    """log Z = log E_{z~N(0,I)}[e^{D(z)}], streamed logsumexp over n draws."""
+    if n % batch != 0:
+        raise ValueError(f"n={n} must be divisible by batch={batch}")
+    keys = jax.random.split(key, n // batch)
+
+    def body(carry, k):
+        m, acc = carry
+        logits = d_apply(d_params, jax.random.normal(k, (batch, z_dim)))
+        new_m = jnp.maximum(m, jnp.max(logits))
+        acc = acc * jnp.exp(m - new_m) + jnp.sum(jnp.exp(logits - new_m))
+        return (new_m, acc), None
+
+    (m, acc), _ = jax.lax.scan(body, (jnp.float32(-jnp.inf), jnp.float32(0.0)),
+                               keys)
+    return m + jnp.log(acc) - jnp.log(float(n))

@@ -1,0 +1,75 @@
+"""OOD scoring suite (SURVEY.md §2.5, §3.5 — config 5).
+
+Per-sample scores on an in-distribution test set vs an OOD test set, AUROC
+in both labelings. Score definitions (``cfg.ood.score`` — the reference's
+exact ratio is [I]-level, SURVEY.md §3.5, so all three ship):
+
+* ``iwae``: per-sample IWAE-k̃ log-likelihood under the model's prior.
+* ``elbo``: single-sample ELBO (k=1) — cheap screen.
+* ``prior_ratio``: log p*(x) - log p0(x): the same model scored with the
+  adversarially-shaped prior vs the base N(0,I) prior. The log-partition
+  cancels nothing here (it shifts every sample equally, so AUROC is
+  unaffected; we still subtract the MC estimate for interpretability).
+  This is the likelihood-*ratio* score that fixes the famous
+  raw-likelihood OOD inversion (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from sklearn.metrics import roc_auc_score
+
+from apv_tpu.eval.run import evaluate_nll
+from apv_tpu.utils.config import Config
+
+
+def auroc(in_scores: np.ndarray, ood_scores: np.ndarray) -> float:
+    """AUROC of 'higher score ⇒ in-distribution'."""
+    y = np.concatenate([np.ones_like(in_scores), np.zeros_like(ood_scores)])
+    s = np.concatenate([in_scores, ood_scores])
+    return float(roc_auc_score(y, s))
+
+
+def _per_sample(cfg: Config, params, d_params, dataset, *, use_adv, k, mesh,
+                seed):
+    return evaluate_nll(cfg, params, d_params, mesh=mesh, dataset=dataset,
+                        k=k, chunk=min(cfg.ood.iwae_chunk, k),
+                        max_examples=cfg.ood.max_examples,
+                        use_adversarial_prior=use_adv, per_sample=True,
+                        seed=seed)["per_sample"]
+
+
+def ood_scores(cfg: Config, params, d_params=None, *, mesh=None,
+               seed: int = 0) -> dict:
+    """Run the suite for (cfg.ood.in_dataset, cfg.ood.ood_dataset).
+
+    Returns per-direction AUROCs and summary stats.
+    """
+    score = cfg.ood.score
+    k = cfg.ood.iwae_k if score != "elbo" else 1
+
+    def score_dataset(name: str) -> np.ndarray:
+        if score == "prior_ratio":
+            if d_params is None or not cfg.adversarial.enabled:
+                raise ValueError(
+                    "prior_ratio score needs an adversarial checkpoint")
+            adv = _per_sample(cfg, params, d_params, name, use_adv=True,
+                              k=k, mesh=mesh, seed=seed)
+            base = _per_sample(cfg, params, d_params, name, use_adv=False,
+                               k=k, mesh=mesh, seed=seed)
+            return adv - base
+        return _per_sample(cfg, params, d_params, name,
+                           use_adv=cfg.adversarial.enabled, k=k, mesh=mesh,
+                           seed=seed)
+
+    in_s = score_dataset(cfg.ood.in_dataset)
+    ood_s = score_dataset(cfg.ood.ood_dataset)
+    return {
+        "score": score,
+        "in_dataset": cfg.ood.in_dataset,
+        "ood_dataset": cfg.ood.ood_dataset,
+        "auroc_in_vs_ood": auroc(in_s, ood_s),
+        "auroc_ood_vs_in": auroc(-in_s, -ood_s),
+        "in_mean": float(in_s.mean()), "ood_mean": float(ood_s.mean()),
+        "n_in": int(in_s.shape[0]), "n_ood": int(ood_s.shape[0]),
+    }

@@ -1,0 +1,117 @@
+"""``evaluate`` entry: test-set NLL via IWAE-k + bits/dim (SURVEY.md §2.5).
+
+Deterministic input convention at eval: no dequantization noise — encoder
+sees centered bin centers, the likelihood scores the discrete levels.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apv_tpu.core.metrics import nats_to_bits_per_dim
+from apv_tpu.data import Batcher, load_dataset, static_binarize
+from apv_tpu.data.preprocess import normalize_center, to_unit_interval
+from apv_tpu.eval.iwae_eval import estimate_log_partition, make_iwae_fn
+from apv_tpu.models import LatentDiscriminator, build_model
+from apv_tpu.parallel import data_sharding, make_mesh, replicated
+from apv_tpu.utils.config import Config
+
+
+def eval_arrays(cfg: Config, dataset: str | None = None,
+                max_examples: int | None = None) -> dict[str, np.ndarray]:
+    """Test-split arrays with train-matched preprocessing, truncated to a
+    multiple of the eval batch size."""
+    name = dataset or cfg.data.dataset
+    images, _ = load_dataset(name, "test", data_dir=cfg.data.data_dir,
+                             synthetic_size=cfg.data.synthetic_size)
+    if cfg.data.binarize:
+        # Same static binarization rule as training, offset seed: the test
+        # set is binarized once with its own fixed key.
+        images = static_binarize(images, seed=cfg.train.seed + 1)
+    if max_examples is not None:
+        images = images[:max_examples]
+    return {"image": images}
+
+
+def _prep_eval_batch(cfg: Config, image):
+    if cfg.data.binarize:
+        x = image.astype(jnp.float32)
+        return x, x
+    levels = to_unit_interval(image) if image.dtype == np.uint8 else image
+    return normalize_center(jnp.asarray(levels)), jnp.asarray(levels)
+
+
+def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
+                 dataset: str | None = None, k: int | None = None,
+                 chunk: int | None = None, max_examples: int | None = None,
+                 use_adversarial_prior: bool | None = None,
+                 per_sample: bool = False, seed: int = 0):
+    """Mean test NLL (nats) + bits/dim; optionally per-sample scores (OOD).
+
+    ``use_adversarial_prior`` defaults to the config's adversarial.enabled:
+    the learned prior p*(z) ∝ p0(z)·e^{D(z)} is scored with an MC-estimated
+    log-partition so the NLL is a proper (estimated) likelihood.
+    """
+    mesh = mesh if mesh is not None else make_mesh()
+    k = k if k is not None else cfg.eval.iwae_k
+    chunk = chunk if chunk is not None else min(cfg.eval.iwae_chunk, k)
+    if k % chunk != 0:
+        chunk = math.gcd(k, chunk)
+    use_adv = (cfg.adversarial.enabled if use_adversarial_prior is None
+               else use_adversarial_prior)
+
+    model = build_model(cfg.model)
+    d_apply = None
+    log_z = jnp.float32(0.0)
+    if use_adv:
+        disc = LatentDiscriminator(tuple(cfg.adversarial.d_widths))
+
+        def d_apply(dp, z):
+            return disc.apply({"params": dp}, z)
+
+        log_z = jax.jit(lambda dp, key: estimate_log_partition(
+            d_apply, dp, cfg.model.z_dim, key))(
+                d_params, jax.random.PRNGKey(seed + 17))
+
+    iwae_fn = make_iwae_fn(model, cfg.model.likelihood, k=k, chunk=chunk,
+                           d_apply=d_apply)
+    jit_iwae = jax.jit(iwae_fn)
+
+    arrays = eval_arrays(cfg, dataset,
+                         max_examples or cfg.eval.max_examples)
+    batcher = Batcher(arrays, min(cfg.eval.batch_size, len(arrays["image"])),
+                      shuffle=False)
+    shard = data_sharding(mesh)
+    rep = replicated(mesh)
+    params = jax.device_put(params, rep)
+    if d_params is not None:
+        d_params = jax.device_put(d_params, rep)
+
+    scores = []
+    with mesh:
+        for i, batch in enumerate(batcher.epoch()):
+            x_in, x_target = _prep_eval_batch(cfg, batch["image"])
+            x_in = jax.device_put(x_in, shard)
+            x_target = jax.device_put(x_target, shard)
+            ll = jit_iwae(params, d_params, x_in, x_target,
+                          jax.random.PRNGKey(seed + i), log_z)
+            scores.append(np.asarray(ll))
+    scores = np.concatenate(scores)
+
+    h, w, c = cfg.model.image_shape
+    nll = float(-scores.mean())
+    result = {
+        "nll_nats": nll,
+        "bits_per_dim": float(nats_to_bits_per_dim(nll, h * w * c)),
+        "iwae_k": k,
+        "num_examples": int(scores.shape[0]),
+        "log_partition": float(log_z),
+        "adversarial_prior": bool(use_adv),
+    }
+    if per_sample:
+        result["per_sample"] = scores
+    return result

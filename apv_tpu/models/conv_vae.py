@@ -1,0 +1,97 @@
+"""MNIST-scale convolutional VAE (SURVEY.md §2.3 rows 1-2).
+
+Encoder: strided convs 28→14→7, dense trunk, (mu, logvar) heads.
+Decoder: dense → 7×7 feature map → nearest-upsample+conv ×2 → per-pixel
+Bernoulli logits (upsample+conv instead of transposed conv: same FLOPs
+on the MXU, no checkerboard artifacts).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+class ConvEncoder(nn.Module):
+    z_dim: int
+    widths: Sequence[int] = (32, 64)
+    dense: int = 512
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h = x.astype(self.dtype)
+        for w in self.widths:
+            h = nn.Conv(w, (3, 3), strides=(2, 2), dtype=self.dtype)(h)
+            h = nn.gelu(h)
+            h = nn.Conv(w, (3, 3), dtype=self.dtype)(h)
+            h = nn.gelu(h)
+        h = h.reshape(h.shape[0], -1)
+        h = nn.gelu(nn.Dense(self.dense, dtype=self.dtype)(h))
+        # Distribution heads in float32 (accuracy-critical).
+        out = nn.Dense(2 * self.z_dim, dtype=jnp.float32,
+                       name="gaussian_head")(h.astype(jnp.float32))
+        mean, logvar = jnp.split(out, 2, axis=-1)
+        # Soft-bound logvar to a sane range; hard clipping kills gradients.
+        logvar = 8.0 * jnp.tanh(logvar / 8.0)
+        return mean, logvar
+
+
+class ConvDecoder(nn.Module):
+    image_shape: tuple[int, int, int] = (28, 28, 1)
+    widths: Sequence[int] = (64, 32)
+    dense: int = 512
+    out_params: int = 1                # Bernoulli: 1 logit per pixel channel
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, z):
+        hh, ww, c = self.image_shape
+        h0, w0 = hh // 4, ww // 4
+        h = nn.gelu(nn.Dense(self.dense, dtype=self.dtype)(z.astype(self.dtype)))
+        h = nn.gelu(nn.Dense(h0 * w0 * self.widths[0], dtype=self.dtype)(h))
+        h = h.reshape(-1, h0, w0, self.widths[0])
+        for w in self.widths:
+            h = _upsample2x(h)
+            h = nn.gelu(nn.Conv(w, (3, 3), dtype=self.dtype)(h))
+            h = nn.gelu(nn.Conv(w, (3, 3), dtype=self.dtype)(h))
+        out = nn.Conv(c * self.out_params, (3, 3), dtype=jnp.float32,
+                      name="likelihood_head")(h.astype(jnp.float32))
+        return out                      # [B, H, W, C*out_params]
+
+
+class ConvVAE(nn.Module):
+    """Bundled encoder/decoder; likelihood = Bernoulli over pixels."""
+    z_dim: int = 40
+    widths: Sequence[int] = (32, 64)
+    dense: int = 512
+    image_shape: tuple[int, int, int] = (28, 28, 1)
+    dtype: jnp.dtype = jnp.bfloat16
+    likelihood: str = "bernoulli"
+
+    def setup(self):
+        self.encoder = ConvEncoder(self.z_dim, self.widths, self.dense,
+                                   self.dtype)
+        out_params = 1 if self.likelihood == "bernoulli" else 2
+        self.decoder = ConvDecoder(self.image_shape,
+                                   tuple(reversed(self.widths)), self.dense,
+                                   out_params, self.dtype)
+
+    def encode(self, x):
+        return self.encoder(x)
+
+    def decode(self, z):
+        return self.decoder(z)
+
+    def __call__(self, x, z):
+        """Used only for init: touches every parameter once."""
+        mean, logvar = self.encode(x)
+        return mean, logvar, self.decode(z)

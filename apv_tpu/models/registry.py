@@ -1,0 +1,23 @@
+"""Model construction from config (SURVEY.md §2.3)."""
+
+from __future__ import annotations
+
+import flax.linen as nn
+
+from apv_tpu.models.conv_vae import ConvVAE
+from apv_tpu.models.resnet_vae import ResNetVAE
+
+
+def build_model(model_cfg) -> nn.Module:
+    """Build the VAE module named by ``model_cfg.family``."""
+    if model_cfg.family == "conv":
+        return ConvVAE(z_dim=model_cfg.z_dim, widths=tuple(model_cfg.widths),
+                       dense=model_cfg.dense,
+                       image_shape=tuple(model_cfg.image_shape),
+                       likelihood=model_cfg.likelihood)
+    if model_cfg.family == "resnet":
+        return ResNetVAE(z_dim=model_cfg.z_dim, widths=tuple(model_cfg.widths),
+                         blocks_per_stage=model_cfg.blocks_per_stage,
+                         image_shape=tuple(model_cfg.image_shape),
+                         likelihood=model_cfg.likelihood)
+    raise ValueError(f"unknown model family {model_cfg.family!r}")

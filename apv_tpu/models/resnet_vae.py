@@ -1,0 +1,117 @@
+"""CIFAR-scale residual VAE (SURVEY.md §2.3 row 3).
+
+Encoder: conv stem → [ResBlock×n, strided downsample] per stage (32→16→8),
+global dense heads. Decoder mirrors with nearest-upsample + conv. Output is
+the discretized-logistic parameter map: per-pixel (mean, log_scale) → 2·C
+channels, f32. GroupNorm (batch-size independent — the same params serve
+train and k-replicated IWAE eval) + GELU throughout, bf16 compute.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from apv_tpu.models.conv_vae import _upsample2x
+
+
+class ResBlock(nn.Module):
+    width: int
+    dtype: jnp.dtype = jnp.bfloat16
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(x)
+        h = nn.gelu(h)
+        h = nn.Conv(self.width, (3, 3), dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(h)
+        h = nn.gelu(h)
+        h = nn.Conv(self.width, (3, 3), dtype=self.dtype)(h)
+        if x.shape[-1] != self.width:
+            x = nn.Conv(self.width, (1, 1), dtype=self.dtype)(x)
+        return x + h
+
+
+class ResNetEncoder(nn.Module):
+    z_dim: int
+    widths: Sequence[int] = (64, 128, 256)
+    blocks_per_stage: int = 2
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.widths[0], (3, 3), dtype=self.dtype)(x.astype(self.dtype))
+        for i, w in enumerate(self.widths):
+            for _ in range(self.blocks_per_stage):
+                h = ResBlock(w, self.dtype)(h)
+            if i < len(self.widths) - 1:
+                h = nn.Conv(self.widths[i + 1], (3, 3), strides=(2, 2),
+                            dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=8, dtype=self.dtype)(h)
+        h = nn.gelu(h)
+        h = h.reshape(h.shape[0], -1)
+        out = nn.Dense(2 * self.z_dim, dtype=jnp.float32,
+                       name="gaussian_head")(h.astype(jnp.float32))
+        mean, logvar = jnp.split(out, 2, axis=-1)
+        logvar = 8.0 * jnp.tanh(logvar / 8.0)
+        return mean, logvar
+
+
+class ResNetDecoder(nn.Module):
+    image_shape: tuple[int, int, int] = (32, 32, 3)
+    widths: Sequence[int] = (256, 128, 64)     # deepest first
+    blocks_per_stage: int = 2
+    out_params: int = 2                        # disc-logistic: mean, log_scale
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, z):
+        hh, ww, c = self.image_shape
+        down = 2 ** (len(self.widths) - 1)
+        h0, w0 = hh // down, ww // down
+        h = nn.Dense(h0 * w0 * self.widths[0], dtype=self.dtype)(
+            z.astype(self.dtype))
+        h = h.reshape(-1, h0, w0, self.widths[0])
+        for i, w in enumerate(self.widths):
+            for _ in range(self.blocks_per_stage):
+                h = ResBlock(w, self.dtype)(h)
+            if i < len(self.widths) - 1:
+                h = _upsample2x(h)
+                h = nn.Conv(self.widths[i + 1], (3, 3), dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=8, dtype=self.dtype)(h)
+        h = nn.gelu(h)
+        out = nn.Conv(c * self.out_params, (3, 3), dtype=jnp.float32,
+                      name="likelihood_head")(h.astype(jnp.float32))
+        return out                              # [B, H, W, C*out_params]
+
+
+class ResNetVAE(nn.Module):
+    """Residual VAE; likelihood = discretized logistic (CIFAR-10)."""
+    z_dim: int = 128
+    widths: Sequence[int] = (64, 128, 256)
+    blocks_per_stage: int = 2
+    image_shape: tuple[int, int, int] = (32, 32, 3)
+    dtype: jnp.dtype = jnp.bfloat16
+    likelihood: str = "discretized_logistic"
+
+    def setup(self):
+        self.encoder = ResNetEncoder(self.z_dim, self.widths,
+                                     self.blocks_per_stage, self.dtype)
+        out_params = 1 if self.likelihood == "bernoulli" else 2
+        self.decoder = ResNetDecoder(self.image_shape,
+                                     tuple(reversed(self.widths)),
+                                     self.blocks_per_stage, out_params,
+                                     self.dtype)
+
+    def encode(self, x):
+        return self.encoder(x)
+
+    def decode(self, z):
+        return self.decoder(z)
+
+    def __call__(self, x, z):
+        mean, logvar = self.encode(x)
+        return mean, logvar, self.decode(z)

@@ -1,0 +1,99 @@
+"""Backend dispatch for the fused probabilistic ops.
+
+All ops take arrays whose axis 0 is the batch axis; event dims (everything
+after axis 0) are reduced to one value per sample where the op is a
+likelihood/divergence. The jnp tier delegates to ``apv_tpu.core`` and lets
+XLA fuse; the pallas tier (``apv_tpu.ops.kernels``) hand-fuses the
+elementwise math with its reduction in VMEM.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from apv_tpu.core import distributions as D
+
+_BACKEND: str | None = None          # resolved lazily
+
+
+def _default_backend() -> str:
+    env = os.environ.get("APV_OPS_BACKEND")
+    if env:
+        return env
+    return "pallas" if jax.default_backend() == "tpu" else "jnp"
+
+
+def set_backend(name: str) -> None:
+    if name not in ("jnp", "pallas"):
+        raise ValueError(f"backend must be 'jnp' or 'pallas', got {name!r}")
+    global _BACKEND
+    _BACKEND = name
+
+
+def get_backend() -> str:
+    global _BACKEND
+    if _BACKEND is None:
+        _BACKEND = _default_backend()
+    return _BACKEND
+
+
+def _flat(x: jax.Array) -> jax.Array:
+    return x.reshape(x.shape[0], -1)
+
+
+# ---------------------------------------------------------------------------
+# jnp tier
+# ---------------------------------------------------------------------------
+
+def _reparam_jnp(key, mean, logvar):
+    return D.gaussian_sample(key, mean, logvar)
+
+
+def _kl_jnp(mean, logvar):
+    return jnp.sum(_flat(D.gaussian_kl_standard(mean, logvar)), axis=-1)
+
+
+def _bernoulli_jnp(x, logits):
+    return jnp.sum(_flat(D.bernoulli_logpmf(x, logits)), axis=-1)
+
+
+def _disc_logistic_jnp(x, mean, log_scale, bin_size):
+    return jnp.sum(_flat(D.discretized_logistic_logpmf(
+        x, mean, log_scale, bin_size=bin_size)), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# public ops
+# ---------------------------------------------------------------------------
+
+def _impl(name: str):
+    if get_backend() == "pallas":
+        from apv_tpu.ops import kernels
+        return getattr(kernels, name)
+    return {"reparam": _reparam_jnp, "kl": _kl_jnp,
+            "bernoulli": _bernoulli_jnp,
+            "disc_logistic": _disc_logistic_jnp}[name]
+
+
+def reparam_sample(key: jax.Array, mean: jax.Array, logvar: jax.Array) -> jax.Array:
+    """z = mean + exp(logvar/2)·eps, differentiable w.r.t. mean/logvar."""
+    return _impl("reparam")(key, mean, logvar)
+
+
+def kl_standard(mean: jax.Array, logvar: jax.Array) -> jax.Array:
+    """Per-sample KL(q||N(0,I)), summed over event dims → [B]."""
+    return _impl("kl")(mean, logvar)
+
+
+def bernoulli_recon_ll(x: jax.Array, logits: jax.Array) -> jax.Array:
+    """Per-sample Bernoulli log-likelihood, summed over pixels → [B]."""
+    return _impl("bernoulli")(x, logits)
+
+
+def disc_logistic_recon_ll(x: jax.Array, mean: jax.Array, log_scale: jax.Array,
+                           *, bin_size: float = 1.0 / 255.0) -> jax.Array:
+    """Per-sample discretized-logistic log-likelihood → [B]."""
+    return _impl("disc_logistic")(x, mean, log_scale, bin_size)

@@ -1,0 +1,98 @@
+"""Loss functions: ELBO and both adversarial-prior variants
+(SURVEY.md §2.4, §3.2).
+
+Discriminator convention: ``D(z)`` is the logit that z came from the
+*aggregate posterior* q(z) (class 1) rather than the prior p0(z) (class 0).
+At the BCE optimum, D(z) = log q(z) - log p0(z) — exactly the density ratio
+the 'learned_prior' variant adds to the ELBO:
+
+    log p*(z) = log p0(z) + D(z) - log Z     (p* ∝ p0 · e^D ≈ q)
+
+Variants (the reference's exact choice is [I]-level — SURVEY.md §2.4 — so
+both are first-class and config-switchable):
+  * 'learned_prior': G maximizes recon - β·KL(q||p0) + λ·E_q[D(z)]; the
+    prior itself is adversarially shaped.
+  * 'aae': G maximizes recon - β·KL + λ·(-softplus(D(z))): posterior
+    samples are pushed to fool D, prior stays N(0,I) (AAE-style, with β=0
+    recovering the pure AAE objective).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from apv_tpu import ops
+from apv_tpu.core import distributions as D
+
+
+def decoder_output_to_likelihood_params(out: jax.Array, likelihood: str,
+                                        image_channels: int):
+    """Split the decoder's channel-stacked output into likelihood params.
+
+    Bernoulli: out [B,H,W,C] are logits. Discretized logistic: out
+    [B,H,W,2C] → (mean, log_scale); mean is unconstrained (edge-bin handling
+    absorbs out-of-range means), log_scale is floored at -7 (PixelCNN++
+    convention — keeps the per-bin mass from collapsing below fp precision).
+    """
+    if likelihood == "bernoulli":
+        return (out,)
+    mean, log_scale = jnp.split(out, 2, axis=-1)
+    return mean, jnp.maximum(log_scale, -7.0)
+
+
+def recon_log_likelihood(x_target: jax.Array, out: jax.Array,
+                         likelihood: str) -> jax.Array:
+    """Per-sample reconstruction log-likelihood [B] via the ops tier."""
+    params = decoder_output_to_likelihood_params(out, likelihood,
+                                                 x_target.shape[-1])
+    if likelihood == "bernoulli":
+        return ops.bernoulli_recon_ll(x_target, params[0])
+    return ops.disc_logistic_recon_ll(x_target, params[0], params[1])
+
+
+def elbo_terms(encode: Callable, decode: Callable, params: Any,
+               x_in: jax.Array, x_target: jax.Array, key: jax.Array,
+               likelihood: str):
+    """One forward pass: returns (recon [B], kl [B], z [B,Z])."""
+    mean, logvar = encode(params, x_in)
+    z = ops.reparam_sample(key, mean, logvar)
+    out = decode(params, z)
+    recon = recon_log_likelihood(x_target, out, likelihood)
+    kl = ops.kl_standard(mean, logvar)
+    return recon, kl, z
+
+
+def generator_adv_term(d_logits_q: jax.Array, variant: str) -> jax.Array:
+    """Per-sample term ADDED to the ELBO (higher = better for G)."""
+    if variant == "learned_prior":
+        return d_logits_q                       # +E_q[D(z)]
+    if variant == "aae":
+        return -jax.nn.softplus(d_logits_q)     # log(1 - sigma(D)): fool D
+    raise ValueError(f"unknown adversarial variant {variant!r}")
+
+
+def discriminator_loss(d_logits_q: jax.Array, d_logits_p: jax.Array,
+                       label_smoothing: float = 0.0):
+    """BCE: posterior samples → class 1, prior samples → class 0.
+
+    Returns (loss, accuracy). With label smoothing s, targets become
+    (1-s, s) — standard GAN stabilization.
+    """
+    s = label_smoothing
+    # -[(1-s)·log sigma(Dq) + s·log(1-sigma(Dq))]
+    loss_q = (1 - s) * jax.nn.softplus(-d_logits_q) + s * jax.nn.softplus(d_logits_q)
+    loss_p = (1 - s) * jax.nn.softplus(d_logits_p) + s * jax.nn.softplus(-d_logits_p)
+    loss = jnp.mean(loss_q) + jnp.mean(loss_p)
+    acc = 0.5 * (jnp.mean((d_logits_q > 0).astype(jnp.float32))
+                 + jnp.mean((d_logits_p <= 0).astype(jnp.float32)))
+    return loss, acc
+
+
+def mc_prior_ratio(z: jax.Array, mean: jax.Array, logvar: jax.Array):
+    """Single-sample MC estimate of log p0(z) - log q(z|x), per sample [B]."""
+    lp = jnp.sum(D.standard_gaussian_logpdf(z).reshape(z.shape[0], -1), -1)
+    lq = jnp.sum(D.gaussian_logpdf(z, mean, logvar).reshape(z.shape[0], -1), -1)
+    return lp - lq

@@ -1,0 +1,189 @@
+"""The train step: ELBO + adversarial alternating updates in ONE compiled
+function (SURVEY.md §3.2 "the critical stack").
+
+TPU mapping of the reference's per-iteration ``sess.run(opt_D)×n ;
+sess.run(opt_G)`` host loop: both phases live inside one jitted step —
+n_critic discriminator updates (fresh posterior/prior samples each) followed
+by one generator/VAE update. With the batch sharded over the mesh's data
+axis and params replicated, XLA inserts the per-phase gradient all-reduce
+over ICI (SURVEY.md §2.6 "Distributed communication backend"); there are no
+hand-written collectives to get wrong.
+
+``stop_gradient`` discipline: the D phase differentiates only d_params
+(posterior samples enter stop-gradiented); the G phase differentiates only
+the VAE params (D's params are closed over as constants).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from apv_tpu import ops
+from apv_tpu.data.preprocess import normalize_center, uniform_dequantize
+from apv_tpu.models import LatentDiscriminator, build_model
+from apv_tpu.train import losses as L
+from apv_tpu.train.state import TrainState
+from apv_tpu.utils.config import Config
+
+
+class TrainFns(NamedTuple):
+    init_fn: Callable[[jax.Array], TrainState]
+    train_step: Callable[[TrainState, dict], tuple[TrainState, dict]]
+    model: Any
+    discriminator: Any
+
+
+def _make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    # decay_steps includes the warmup leg; keep warmup under half the run so
+    # short smoke runs (steps << lr_warmup_steps) still get a valid schedule.
+    warmup = max(1, min(cfg.train.lr_warmup_steps, cfg.train.steps // 2))
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=cfg.train.lr,
+        warmup_steps=warmup,
+        decay_steps=max(cfg.train.steps, warmup + 1),
+        end_value=cfg.train.lr_end_value)
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip_norm),
+        optax.adam(schedule),
+    )
+
+
+def _make_d_optimizer(cfg: Config) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip_norm),
+        optax.adam(cfg.adversarial.d_lr, b1=0.5),   # b1=0.5: GAN convention
+    )
+
+
+def prepare_batch(cfg: Config, batch: dict, key: jax.Array):
+    """In-step input stage: returns (x_in, x_target).
+
+    * binarized MNIST: image is float {0,1}; input == target.
+    * CIFAR: image is uint8; input = centered uniform-dequantized levels,
+      target = bin centers i/255 (the discrete pmf's support).
+    """
+    image = batch["image"]
+    if cfg.data.dequantize:
+        x_in = normalize_center(uniform_dequantize(key, image))
+        x_target = image.astype(jnp.float32) / 255.0
+        return x_in, x_target
+    x = image.astype(jnp.float32)
+    return x, x
+
+
+def _beta(cfg: Config, step: jax.Array) -> jax.Array:
+    beta = jnp.asarray(cfg.train.beta, jnp.float32)
+    if cfg.train.beta_warmup_steps > 0:
+        frac = jnp.minimum(step.astype(jnp.float32)
+                           / cfg.train.beta_warmup_steps, 1.0)
+        beta = beta * frac
+    return beta
+
+
+def make_train_fns(cfg: Config) -> TrainFns:
+    model = build_model(cfg.model)
+    adv = cfg.adversarial.enabled
+    disc = LatentDiscriminator(tuple(cfg.adversarial.d_widths)) if adv else None
+    tx = _make_optimizer(cfg)
+    d_tx = _make_d_optimizer(cfg) if adv else None
+
+    def encode(params, x):
+        return model.apply({"params": params}, x, method="encode")
+
+    def decode(params, z):
+        return model.apply({"params": params}, z, method="decode")
+
+    def d_apply(d_params, z):
+        return disc.apply({"params": d_params}, z)
+
+    # -- init ---------------------------------------------------------------
+
+    def init_fn(rng: jax.Array) -> TrainState:
+        k_model, k_disc, k_state = jax.random.split(rng, 3)
+        h, w, c = cfg.model.image_shape
+        x_dummy = jnp.zeros((2, h, w, c), jnp.float32)
+        z_dummy = jnp.zeros((2, cfg.model.z_dim), jnp.float32)
+        params = model.init(k_model, x_dummy, z_dummy)["params"]
+        if adv:
+            d_params = disc.init(k_disc, z_dummy)["params"]
+            d_opt_state = d_tx.init(d_params)
+        else:
+            d_params, d_opt_state = {}, ()
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=tx.init(params), d_params=d_params,
+                          d_opt_state=d_opt_state, rng=k_state)
+
+    # -- phases -------------------------------------------------------------
+
+    def g_phase(state: TrainState, x_in, x_target, key, beta):
+        def loss_fn(params):
+            recon, kl, z = L.elbo_terms(encode, decode, params, x_in,
+                                        x_target, key, cfg.model.likelihood)
+            elbo = recon - beta * kl
+            aux = {"recon": jnp.mean(recon), "kl": jnp.mean(kl)}
+            if adv:
+                d_logits = d_apply(jax.lax.stop_gradient(state.d_params), z)
+                adv_term = L.generator_adv_term(d_logits,
+                                                cfg.adversarial.variant)
+                elbo = elbo + cfg.adversarial.weight * adv_term
+                aux["g_adv"] = jnp.mean(adv_term)
+            loss = -jnp.mean(elbo)
+            aux["elbo"] = jnp.mean(recon - kl)   # plain ELBO for reporting
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        aux["loss"] = loss
+        aux["grad_norm"] = optax.global_norm(grads)
+        return state.replace(params=params, opt_state=opt_state), aux
+
+    def d_phase(state: TrainState, x_in, key):
+        k_post, k_prior = jax.random.split(key)
+        # Posterior samples with NO gradient into the VAE.
+        mean, logvar = encode(jax.lax.stop_gradient(state.params), x_in)
+        z_q = ops.reparam_sample(k_post, mean, logvar)
+        z_q = jax.lax.stop_gradient(z_q)
+        z_p = jax.random.normal(k_prior, z_q.shape, jnp.float32)
+
+        def loss_fn(d_params):
+            return L.discriminator_loss(
+                d_apply(d_params, z_q), d_apply(d_params, z_p),
+                cfg.adversarial.label_smoothing)
+
+        (d_loss, d_acc), d_grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.d_params)
+        updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state,
+                                           state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates)
+        return (state.replace(d_params=d_params, d_opt_state=d_opt_state),
+                {"d_loss": d_loss, "d_acc": d_acc})
+
+    # -- the step -----------------------------------------------------------
+
+    def train_step(state: TrainState, batch: dict):
+        step_key = jax.random.fold_in(state.rng, state.step)
+        k_deq, k_g, *k_ds = jax.random.split(
+            step_key, 2 + max(cfg.adversarial.n_critic, 1))
+        x_in, x_target = prepare_batch(cfg, batch, k_deq)
+        beta = _beta(cfg, state.step)
+
+        metrics = {}
+        if adv:
+            # Reference order (SURVEY.md §3.2): D step(s), then G step.
+            for i in range(cfg.adversarial.n_critic):
+                state, d_metrics = d_phase(state, x_in, k_ds[i])
+            metrics.update(d_metrics)
+        state, g_metrics = g_phase(state, x_in, x_target, k_g, beta)
+        metrics.update(g_metrics)
+        metrics["beta"] = beta
+        state = state.replace(step=state.step + 1)
+        return state, metrics
+
+    return TrainFns(init_fn=init_fn, train_step=train_step, model=model,
+                    discriminator=disc)

@@ -1,0 +1,214 @@
+"""Config system: one frozen dataclass tree + five named presets
+(SURVEY.md §2.6 "Config/flag system", §5).
+
+The presets match the five reference configs from BASELINE.json verbatim
+(SURVEY.md §0.1): mnist_vae, mnist_advprior, cifar_advprior_resnet,
+iwae_eval, ood_suite. CLI overrides use dot paths: ``--set train.lr=3e-4``.
+
+[I]-flagged reference unknowns (SURVEY.md §7 risk R2) are config knobs so
+they can be snapped to the real reference without rework: the adversarial
+loss variant (``adversarial.variant``), ``n_critic``, the OOD score
+definition (``ood.score``), architecture sizes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    family: str = "conv"                       # conv | resnet
+    z_dim: int = 40
+    widths: tuple[int, ...] = (32, 64)
+    blocks_per_stage: int = 2                  # resnet only
+    dense: int = 512                           # conv only
+    likelihood: str = "bernoulli"              # bernoulli | discretized_logistic
+    image_shape: tuple[int, int, int] = (28, 28, 1)
+
+
+@dataclass(frozen=True)
+class AdversarialConfig:
+    enabled: bool = False
+    # 'learned_prior': density-ratio-shaped prior p*(z) ∝ p0(z)·e^{D(z)}
+    # 'aae': adversarial posterior-matching regularizer, prior stays N(0,I)
+    # (variant is the survey's #1 [I] uncertainty — SURVEY.md §2.4)
+    variant: str = "learned_prior"
+    weight: float = 1.0                        # λ on the generator's adv term
+    n_critic: int = 1                          # D steps per G step
+    d_lr: float = 1e-4
+    d_widths: tuple[int, ...] = (256, 256)
+    label_smoothing: float = 0.0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 256                      # global (sharded over chips)
+    steps: int = 30_000
+    lr: float = 1e-3
+    lr_warmup_steps: int = 500
+    lr_end_value: float = 1e-5                 # cosine decay target
+    beta: float = 1.0                          # KL weight
+    beta_warmup_steps: int = 0                 # linear KL anneal from 0
+    seed: int = 0
+    log_every: int = 100
+    checkpoint_every: int = 2_000
+    grad_clip_norm: float = 5.0
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "mnist"
+    binarize: bool = True                      # static binarization (MNIST)
+    dequantize: bool = False                   # uniform dequantize (CIFAR)
+    data_dir: str | None = None
+    synthetic_size: int | None = None          # cap fallback dataset size
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    iwae_k: int = 1_000
+    iwae_chunk: int = 50
+    batch_size: int = 64
+    max_examples: int | None = None            # cap test examples (smoke runs)
+
+
+@dataclass(frozen=True)
+class OODConfig:
+    in_dataset: str = "cifar10"
+    ood_dataset: str = "svhn"
+    # 'iwae': per-sample IWAE-k̃ log-likelihood;
+    # 'elbo': single-sample ELBO;
+    # 'prior_ratio': log p*(x)-style ratio using the adversarial prior's
+    #   density-ratio correction vs the base N(0,I) prior — the
+    #   likelihood-*ratio* score motivating config 5 (SURVEY.md §3.5, [I]).
+    score: str = "prior_ratio"
+    iwae_k: int = 100
+    iwae_chunk: int = 50
+    batch_size: int = 64
+    max_examples: int | None = 2_000
+
+
+@dataclass(frozen=True)
+class Config:
+    name: str = "mnist_vae"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    adversarial: AdversarialConfig = field(default_factory=AdversarialConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    ood: OODConfig = field(default_factory=OODConfig)
+    results_dir: str = "results"
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+
+# ---------------------------------------------------------------------------
+# The five named presets (BASELINE.json configs 1-5, SURVEY.md §0.1)
+# ---------------------------------------------------------------------------
+
+def _mnist_vae() -> Config:
+    """Config 1: Conv-VAE on binarized MNIST, standard Gaussian prior."""
+    return Config(name="mnist_vae")
+
+
+def _mnist_advprior() -> Config:
+    """Config 2: adversarial-prior VAE on MNIST."""
+    return Config(
+        name="mnist_advprior",
+        adversarial=AdversarialConfig(enabled=True),
+    )
+
+
+def _cifar_advprior_resnet() -> Config:
+    """Config 3: CIFAR-10 ResNet VAE, adversarial prior, disc-logistic."""
+    return Config(
+        name="cifar_advprior_resnet",
+        model=ModelConfig(family="resnet", z_dim=128, widths=(64, 128, 256),
+                          likelihood="discretized_logistic",
+                          image_shape=(32, 32, 3)),
+        adversarial=AdversarialConfig(enabled=True),
+        train=TrainConfig(batch_size=256, steps=100_000, lr=5e-4,
+                          beta_warmup_steps=5_000),
+        data=DataConfig(dataset="cifar10", binarize=False, dequantize=True),
+    )
+
+
+def _iwae_eval() -> Config:
+    """Config 4: IWAE-k evaluation pipeline, k=1000, bits/dim reporting."""
+    cfg = _cifar_advprior_resnet()
+    return dataclasses.replace(cfg, name="iwae_eval",
+                               eval=EvalConfig(iwae_k=1_000, iwae_chunk=50))
+
+
+def _ood_suite() -> Config:
+    """Config 5: sampling + OOD scoring (MNIST↔FashionMNIST, CIFAR↔SVHN)."""
+    cfg = _cifar_advprior_resnet()
+    return dataclasses.replace(cfg, name="ood_suite", ood=OODConfig())
+
+
+PRESETS = {
+    "mnist_vae": _mnist_vae,
+    "mnist_advprior": _mnist_advprior,
+    "cifar_advprior_resnet": _cifar_advprior_resnet,
+    "iwae_eval": _iwae_eval,
+    "ood_suite": _ood_suite,
+}
+
+
+def get_preset(name: str) -> Config:
+    if name not in PRESETS:
+        raise ValueError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name]()
+
+
+# ---------------------------------------------------------------------------
+# Dot-path CLI overrides
+# ---------------------------------------------------------------------------
+
+def _parse_value(existing: Any, raw: str) -> Any:
+    if isinstance(existing, bool):
+        if raw.lower() in ("1", "true", "yes"):
+            return True
+        if raw.lower() in ("0", "false", "no"):
+            return False
+        raise ValueError(f"bad bool {raw!r}")
+    if isinstance(existing, int) and not isinstance(existing, bool):
+        return int(raw)
+    if isinstance(existing, float):
+        return float(raw)
+    if isinstance(existing, tuple):
+        return tuple(json.loads(raw))
+    if existing is None:
+        # Untyped slot: try JSON, fall back to string.
+        try:
+            return json.loads(raw)
+        except json.JSONDecodeError:
+            return raw
+    return raw
+
+
+def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
+    """Apply ``path.to.field=value`` strings to a frozen config tree."""
+    for item in overrides:
+        if "=" not in item:
+            raise ValueError(f"override {item!r} is not of the form path=value")
+        path, raw = item.split("=", 1)
+        keys = path.split(".")
+        cfg = _replace_path(cfg, keys, raw)
+    return cfg
+
+
+def _replace_path(node, keys: list[str], raw: str):
+    head, rest = keys[0], keys[1:]
+    if not hasattr(node, head):
+        raise ValueError(
+            f"no config field {head!r} on {type(node).__name__}; "
+            f"have {[f.name for f in dataclasses.fields(node)]}")
+    cur = getattr(node, head)
+    new = _replace_path(cur, rest, raw) if rest else _parse_value(cur, raw)
+    return dataclasses.replace(node, **{head: new})

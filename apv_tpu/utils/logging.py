@@ -1,0 +1,62 @@
+"""Metrics logging + observability (SURVEY.md §5 "Metrics / logging").
+
+Structured stdout + ``metrics.jsonl`` in the results dir; tracks step time
+and images/sec/chip (a north-star metric). ``jax.profiler`` tracing hooks
+sit behind ``trace_dir`` (SURVEY.md §5 "Tracing / profiling").
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+
+
+class MetricLogger:
+    def __init__(self, results_dir: str | Path, *, log_every: int = 100,
+                 batch_size: int = 0, trace_dir: str | None = None,
+                 trace_steps: tuple[int, int] = (10, 15)):
+        self.dir = Path(results_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.path = self.dir / "metrics.jsonl"
+        self.log_every = log_every
+        self.batch_size = batch_size
+        self.n_chips = max(jax.device_count(), 1)
+        self._last_time = time.perf_counter()
+        self._last_step = None
+        self.trace_dir = trace_dir
+        self.trace_steps = trace_steps
+
+    def maybe_trace(self, step: int) -> None:
+        if self.trace_dir is None:
+            return
+        if step == self.trace_steps[0]:
+            jax.profiler.start_trace(self.trace_dir)
+        elif step == self.trace_steps[1]:
+            jax.profiler.stop_trace()
+
+    def log(self, step: int, metrics: dict) -> None:
+        if step % self.log_every != 0:
+            return
+        now = time.perf_counter()
+        record = {"step": step}
+        record.update({k: float(v) for k, v in metrics.items()})
+        if self._last_step is not None and step > self._last_step:
+            dt = (now - self._last_time) / (step - self._last_step)
+            record["step_time_s"] = dt
+            if self.batch_size:
+                record["images_per_sec_per_chip"] = (
+                    self.batch_size / dt / self.n_chips)
+        self._last_time, self._last_step = now, step
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        parts = [f"step {step}"]
+        parts += [f"{k}={v:.4g}" for k, v in record.items()
+                  if k != "step" and isinstance(v, float)]
+        print("  ".join(parts), flush=True)
+
+    def write_json(self, name: str, obj) -> None:
+        with open(self.dir / name, "w") as f:
+            json.dump(obj, f, indent=2, default=str)

@@ -1,0 +1,75 @@
+"""Benchmark: training throughput on the flagship config (one JSON line).
+
+Metric: train images/sec/chip on config 3 (CIFAR-10 ResNet VAE with
+adversarial prior, discretized-logistic likelihood) at its production batch
+size, measured on real hardware over timed steps after compile+warmup.
+
+``vs_baseline``: the reference recorded NO published numbers
+(BASELINE.json "published": {}; the reference mount was empty — SURVEY.md
+§0/§6). The north-star target is ≥5× the reference's GPU images/sec/chip.
+As a stand-in until the reference is readable, we use a literature-anchor
+GPU throughput for this model class (conv/ResNet VAE, CIFAR-10, TF1-era
+single GPU): ~1500 images/sec. vs_baseline = measured / (5 × 1500), i.e.
+vs_baseline ≥ 1.0 means the 5× north-star target is met against the anchor.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+ANCHOR_REF_GPU_IMAGES_PER_SEC = 1500.0   # literature anchor, see docstring
+TARGET_MULTIPLIER = 5.0
+
+
+def main() -> None:
+    from apv_tpu.parallel import data_sharding, make_mesh, replicated
+    from apv_tpu.train.step import make_train_fns
+    from apv_tpu.utils.config import get_preset
+
+    cfg = get_preset("cifar_advprior_resnet")
+    fns = make_train_fns(cfg)
+    mesh = make_mesh()
+    n_chips = len(mesh.devices.ravel())
+
+    state = jax.jit(fns.init_fn, out_shardings=replicated(mesh))(
+        jax.random.PRNGKey(0))
+
+    h, w, c = cfg.model.image_shape
+    images = np.random.default_rng(0).integers(
+        0, 256, size=(cfg.train.batch_size, h, w, c)).astype(np.uint8)
+    batch = {"image": jax.device_put(images, data_sharding(mesh))}
+
+    step = jax.jit(fns.train_step, donate_argnums=0)
+    with mesh:
+        # compile + warmup. NOTE: synchronize via a host readback
+        # (float(...)) rather than block_until_ready — on the axon-relay
+        # TPU platform block_until_ready can return before the dispatched
+        # chain has executed, which silently times dispatch, not compute.
+        for _ in range(5):
+            state, metrics = step(state, batch)
+        float(metrics["loss"])
+
+        n_steps = 30
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, metrics = step(state, batch)
+        float(metrics["loss"])
+        dt = time.perf_counter() - t0
+
+    images_per_sec = cfg.train.batch_size * n_steps / dt
+    per_chip = images_per_sec / n_chips
+    target = ANCHOR_REF_GPU_IMAGES_PER_SEC * TARGET_MULTIPLIER
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip_cifar_advprior_resnet",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / target, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Data layer + config system tests (SURVEY.md §2.1, §2.6)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from apv_tpu.data import (Batcher, load_dataset, prefetch_to_device,
+                          static_binarize, to_unit_interval,
+                          uniform_dequantize)
+from apv_tpu.data.datasets import DATASETS
+from apv_tpu.utils.config import PRESETS, apply_overrides, get_preset
+
+
+@pytest.mark.parametrize("name", sorted(DATASETS))
+def test_synthetic_fallback_shapes(name):
+    spec = DATASETS[name]
+    images, labels = load_dataset(name, "test", synthetic_size=64)
+    assert images.shape == (64,) + spec.shape
+    assert images.dtype == np.uint8
+    assert labels.shape == (64,) and labels.dtype == np.int32
+    # deterministic
+    images2, labels2 = load_dataset(name, "test", synthetic_size=64)
+    np.testing.assert_array_equal(images, images2)
+
+
+def test_synthetic_datasets_differ_across_names():
+    a, _ = load_dataset("mnist", "test", synthetic_size=32)
+    b, _ = load_dataset("fashion_mnist", "test", synthetic_size=32)
+    assert a.shape == b.shape and not np.array_equal(a, b)
+
+
+def test_load_rejects_unknown():
+    with pytest.raises(ValueError):
+        load_dataset("imagenet")
+    with pytest.raises(ValueError):
+        load_dataset("mnist", "valid")
+    with pytest.raises(FileNotFoundError):
+        load_dataset("mnist", data_dir="/nonexistent", allow_synthetic=False)
+
+
+def test_static_binarize():
+    img = np.array([[0, 255, 128]], np.uint8)
+    out1 = static_binarize(img, seed=3)
+    out2 = static_binarize(img, seed=3)
+    np.testing.assert_array_equal(out1, out2)        # static = fixed
+    assert out1.dtype == np.float32
+    assert set(np.unique(out1)) <= {0.0, 1.0}
+    assert out1[0, 0] == 0.0 and out1[0, 1] == 1.0   # p=0 and p=1 are exact
+    # p=128/255 binarizes to either value across seeds
+    vals = {float(static_binarize(img, seed=s)[0, 2]) for s in range(30)}
+    assert vals == {0.0, 1.0}
+
+
+def test_uniform_dequantize_range():
+    img = np.array([[0, 255]], np.uint8)
+    out = uniform_dequantize(jax.random.PRNGKey(0), img)
+    arr = np.asarray(out)
+    assert arr.dtype == np.float32
+    assert 0.0 <= arr[0, 0] < 1 / 256 + 1e-6
+    assert 255 / 256 <= arr[0, 1] < 1.0
+    np.testing.assert_allclose(np.asarray(to_unit_interval(img)),
+                               [[0.0, 1.0]])
+
+
+def test_batcher_epochs_and_shuffling():
+    arrays = {"image": np.arange(100, dtype=np.float32)[:, None]}
+    b = Batcher(arrays, 32, seed=1)
+    assert b.batches_per_epoch == 3
+    epoch1 = list(b.epoch())
+    assert len(epoch1) == 3
+    assert all(x["image"].shape == (32, 1) for x in epoch1)
+    epoch2 = list(b.epoch())
+    flat1 = np.concatenate([x["image"] for x in epoch1]).ravel()
+    flat2 = np.concatenate([x["image"] for x in epoch2]).ravel()
+    assert not np.array_equal(flat1, flat2)          # reshuffled
+    with pytest.raises(ValueError):
+        Batcher(arrays, 200)
+    with pytest.raises(ValueError):
+        Batcher({"a": np.zeros(3), "b": np.zeros(4)}, 2)
+
+
+def test_prefetch_preserves_order_and_count():
+    arrays = {"x": np.arange(64, dtype=np.float32)}
+    b = Batcher(arrays, 16, shuffle=False)
+    out = list(prefetch_to_device(b.epoch(), depth=2))
+    assert len(out) == 4
+    np.testing.assert_array_equal(np.asarray(out[0]["x"]),
+                                  np.arange(16, dtype=np.float32))
+    assert isinstance(out[0]["x"], jax.Array)
+
+
+# -- config system ----------------------------------------------------------
+
+def test_all_presets_build():
+    for name in PRESETS:
+        cfg = get_preset(name)
+        assert cfg.name == name
+        assert cfg.to_json()
+
+
+def test_preset_capability_surface():
+    """The five configs must match BASELINE.json's definitions."""
+    c1 = get_preset("mnist_vae")
+    assert (c1.data.binarize, c1.model.likelihood,
+            c1.adversarial.enabled) == (True, "bernoulli", False)
+    c2 = get_preset("mnist_advprior")
+    assert c2.adversarial.enabled
+    c3 = get_preset("cifar_advprior_resnet")
+    assert (c3.model.family, c3.model.likelihood, c3.data.dequantize,
+            c3.adversarial.enabled) == ("resnet", "discretized_logistic",
+                                        True, True)
+    c4 = get_preset("iwae_eval")
+    assert c4.eval.iwae_k == 1000
+    c5 = get_preset("ood_suite")
+    assert (c5.ood.in_dataset, c5.ood.ood_dataset) == ("cifar10", "svhn")
+
+
+def test_overrides():
+    cfg = get_preset("mnist_vae")
+    cfg = apply_overrides(cfg, ["train.lr=0.5", "model.widths=[4,8]",
+                                "adversarial.enabled=true",
+                                "data.data_dir=/tmp/x"])
+    assert cfg.train.lr == 0.5
+    assert cfg.model.widths == (4, 8)
+    assert cfg.adversarial.enabled is True
+    assert cfg.data.data_dir == "/tmp/x"
+    with pytest.raises(ValueError):
+        apply_overrides(cfg, ["no.such.field=1"])
+    with pytest.raises(ValueError):
+        apply_overrides(cfg, ["malformed"])
+
+
+def test_config_frozen():
+    cfg = get_preset("mnist_vae")
+    with pytest.raises(dataclasses.FrozenInstanceError):
+        cfg.train.lr = 1.0

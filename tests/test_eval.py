@@ -1,0 +1,131 @@
+"""Eval / sampling / OOD integration tests on untrained tiny models
+(SURVEY.md §4 "Integration")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conftest import tiny_config
+from apv_tpu.eval.iwae_eval import estimate_log_partition, make_iwae_fn
+from apv_tpu.eval.ood import auroc, ood_scores
+from apv_tpu.eval.run import evaluate_nll
+from apv_tpu.models import LatentDiscriminator, build_model
+from apv_tpu.train.step import make_train_fns
+
+
+def _init_state(cfg):
+    fns = make_train_fns(cfg)
+    return fns.init_fn(jax.random.PRNGKey(0))
+
+
+def test_evaluate_nll_bernoulli_finite():
+    cfg = tiny_config("mnist_vae")
+    state = _init_state(cfg)
+    res = evaluate_nll(cfg, state.params, k=8, chunk=4, max_examples=32,
+                       per_sample=True)
+    assert np.isfinite(res["nll_nats"])
+    assert res["num_examples"] == 32
+    assert res["per_sample"].shape == (32,)
+    # untrained model on binarized pixels: NLL within [0, 784*log2] *ish*
+    assert 0 < res["nll_nats"] < 784 * 2.0
+    np.testing.assert_allclose(res["bits_per_dim"],
+                               res["nll_nats"] / (784 * np.log(2)),
+                               rtol=1e-6)
+
+
+def test_evaluate_nll_adversarial_disc_logistic():
+    cfg = tiny_config("cifar_advprior_resnet")
+    state = _init_state(cfg)
+    res = evaluate_nll(cfg, state.params, state.d_params, k=4, chunk=2,
+                       max_examples=16)
+    assert np.isfinite(res["nll_nats"])
+    assert res["adversarial_prior"] is True
+    assert np.isfinite(res["log_partition"])
+
+
+def test_iwae_more_k_not_worse():
+    """On a fixed model, E[IWAE_k] improves with k; with shared seeds and
+    modest variance a single comparison at k=1 vs k=32 should hold."""
+    cfg = tiny_config("mnist_vae")
+    state = _init_state(cfg)
+    r1 = evaluate_nll(cfg, state.params, k=1, chunk=1, max_examples=32,
+                      seed=5)
+    r32 = evaluate_nll(cfg, state.params, k=32, chunk=8, max_examples=32,
+                       seed=5)
+    assert r32["nll_nats"] <= r1["nll_nats"] + 1.0
+
+
+def test_log_partition_of_zero_discriminator():
+    """D ≡ const c ⇒ log Z = c exactly."""
+    disc = LatentDiscriminator((8,))
+    d_params = disc.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))["params"]
+    # zero all weights -> logits identically bias=0 -> log Z = 0
+    d_params = jax.tree.map(jnp.zeros_like, d_params)
+
+    def d_apply(dp, z):
+        return disc.apply({"params": dp}, z)
+
+    lz = estimate_log_partition(d_apply, d_params, 4, jax.random.PRNGKey(1),
+                                n=1000, batch=500)
+    np.testing.assert_allclose(float(lz), 0.0, atol=1e-5)
+
+
+def test_auroc():
+    rng = np.random.default_rng(0)
+    hi = rng.normal(2.0, 1.0, 500)
+    lo = rng.normal(-2.0, 1.0, 500)
+    assert auroc(hi, lo) > 0.95
+    assert auroc(lo, hi) < 0.05
+    assert abs(auroc(hi, hi) - 0.5) < 0.05
+
+
+def test_ood_suite_runs_mnist_fashion():
+    cfg = tiny_config("mnist_advprior", **{
+        "ood.in_dataset": "mnist", "ood.ood_dataset": "fashion_mnist",
+        "ood.score": "prior_ratio", "ood.iwae_k": 4, "ood.iwae_chunk": 2})
+    state = _init_state(cfg)
+    res = ood_scores(cfg, state.params, state.d_params)
+    assert 0.0 <= res["auroc_in_vs_ood"] <= 1.0
+    assert res["n_in"] == res["n_ood"] == 32
+    np.testing.assert_allclose(res["auroc_in_vs_ood"],
+                               1.0 - res["auroc_ood_vs_in"], atol=1e-9)
+
+
+def test_ood_elbo_score_no_discriminator():
+    cfg = tiny_config("mnist_vae", **{
+        "ood.in_dataset": "mnist", "ood.ood_dataset": "fashion_mnist",
+        "ood.score": "elbo"})
+    state = _init_state(cfg)
+    res = ood_scores(cfg, state.params)
+    assert res["score"] == "elbo"
+    assert 0.0 <= res["auroc_in_vs_ood"] <= 1.0
+
+
+def test_sampling_and_grid(tmp_path):
+    from apv_tpu.sample import generate_samples, save_image_grid
+    cfg = tiny_config("mnist_vae")
+    state = _init_state(cfg)
+    model = build_model(cfg.model)
+    imgs = generate_samples(model, state.params, jax.random.PRNGKey(0),
+                            n=16, z_dim=cfg.model.z_dim,
+                            likelihood=cfg.model.likelihood,
+                            image_channels=1)
+    assert imgs.shape == (16, 28, 28, 1)
+    arr = np.asarray(imgs)
+    assert arr.min() >= 0 and arr.max() <= 1
+    p = save_image_grid(imgs, tmp_path / "grid.png", cols=4)
+    assert p.exists() and p.stat().st_size > 100
+
+
+def test_sir_prior_sampling():
+    from apv_tpu.sample.run import sample_prior
+    disc = LatentDiscriminator((16,))
+    d_params = disc.init(jax.random.PRNGKey(0), jnp.zeros((1, 2)))["params"]
+
+    def d_apply(dp, z):
+        # hand-crafted D: strongly favor z[0] > 0
+        return 4.0 * z[:, 0]
+
+    z = sample_prior(jax.random.PRNGKey(1), 2000, 2, d_apply=d_apply,
+                     d_params=d_params, pool_factor=32)
+    assert float(jnp.mean((z[:, 0] > 0).astype(jnp.float32))) > 0.85
