@@ -15,16 +15,39 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _splitmix64_uniform(n: int, seed: int) -> np.ndarray:
+    """Vectorized splitmix64 → f32 uniforms in [0,1).
+
+    Bit-identical to the native C++ implementation in
+    data/_native/batcher.cpp (apv_binarize_u8), so the binarized dataset is
+    the same whether the native library built or not.
+    """
+    golden = np.uint64(0x9E3779B97F4A7C15)
+    state0 = np.uint64(seed) ^ np.uint64(0xD1B54A32D192ED03)
+    with np.errstate(over="ignore"):
+        s = state0 + (np.arange(1, n + 1, dtype=np.uint64)) * golden
+        z = (s ^ (s >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    r = (z >> np.uint64(40)).astype(np.float32)       # 24 high bits
+    return r * np.float32(1.0 / 16777216.0)
+
+
 def static_binarize(images_u8: np.ndarray, seed: int = 0) -> np.ndarray:
     """Static Bernoulli binarization: sample b ~ Bernoulli(pixel/255) ONCE.
 
     "Static" = the binarization is fixed for the whole run (not resampled
     per epoch), matching the reference's MNIST setup (SURVEY.md §2.1).
-    Returns float32 in {0, 1}.
+    Returns float32 in {0, 1}. Runs through the native C++ kernel when
+    available; the numpy path reproduces the identical bit stream.
     """
-    rng = np.random.default_rng(seed)
-    p = images_u8.astype(np.float32) / 255.0
-    return (rng.random(p.shape, dtype=np.float32) < p).astype(np.float32)
+    from apv_tpu.data import _native
+    out = _native.binarize_u8(images_u8, seed)
+    if out is not None:
+        return out
+    u = _splitmix64_uniform(images_u8.size, seed).reshape(images_u8.shape)
+    return (u * np.float32(255.0)
+            < images_u8.astype(np.float32)).astype(np.float32)
 
 
 def to_unit_interval(images_u8: np.ndarray) -> np.ndarray:

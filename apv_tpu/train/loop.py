@@ -23,14 +23,20 @@ from apv_tpu.utils.config import Config
 from apv_tpu.utils.logging import MetricLogger
 
 
-def load_train_arrays(cfg: Config) -> dict[str, np.ndarray]:
+def load_train_arrays(cfg: Config) -> tuple[dict[str, np.ndarray],
+                                            dict[str, np.ndarray] | None]:
+    """(train_arrays, valid_arrays): the valid split is carved from the
+    tail of the (pre-shuffled-by-construction) train set."""
     images, _ = load_dataset(cfg.data.dataset, "train",
                              data_dir=cfg.data.data_dir,
                              synthetic_size=cfg.data.synthetic_size)
     if cfg.data.binarize:
         images = static_binarize(images, seed=cfg.train.seed)
     # dequantization happens inside the jitted step (fresh noise per epoch)
-    return {"image": images}
+    n_valid = int(len(images) * cfg.train.valid_fraction)
+    if cfg.train.eval_every <= 0 or n_valid < 1:
+        return {"image": images}, None
+    return ({"image": images[:-n_valid]}, {"image": images[-n_valid:]})
 
 
 def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
@@ -57,16 +63,40 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
             start = int(state.step)
 
     step_fn = jax.jit(fns.train_step, donate_argnums=0)
+    eval_fn = jax.jit(fns.eval_step)
 
-    arrays = arrays if arrays is not None else load_train_arrays(cfg)
-    batcher = Batcher(arrays, cfg.train.batch_size, seed=cfg.train.seed)
-    batches = prefetch_to_device(iter(batcher), data_sharding(mesh))
+    if arrays is not None:
+        train_arrays, valid_arrays = arrays, None
+    else:
+        train_arrays, valid_arrays = load_train_arrays(cfg)
+    batcher = Batcher(train_arrays, cfg.train.batch_size, seed=cfg.train.seed)
+    batches = prefetch_to_device(batcher.iter_from(start),
+                                 data_sharding(mesh))
+
+    valid_batches = None
+    if valid_arrays is not None:
+        vb = Batcher(valid_arrays,
+                     min(cfg.train.batch_size, len(valid_arrays["image"])),
+                     shuffle=False)
+        shard = data_sharding(mesh)
+        valid_batches = [
+            {k: jax.device_put(v, shard) for k, v in b.items()}
+            for b in vb.epoch()]
 
     logger = MetricLogger(results_dir, log_every=cfg.train.log_every,
                           batch_size=cfg.train.batch_size,
                           trace_dir=trace_dir)
     logger.write_json("config.json", cfg.to_json())
 
+    def run_validation(state, step):
+        sums: dict[str, float] = {}
+        for b in valid_batches:
+            m = eval_fn(state, b)
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        return {k: v / len(valid_batches) for k, v in sums.items()}
+
+    best_valid_elbo = -float("inf")
     stop = cfg.train.steps if max_steps is None else min(
         start + max_steps, cfg.train.steps)
     with mesh:
@@ -74,6 +104,18 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
             logger.maybe_trace(step)
             state, metrics = step_fn(state, next(batches))
             logger.log(step, metrics)
+            if valid_batches and cfg.train.eval_every > 0 \
+                    and (step + 1) % cfg.train.eval_every == 0:
+                vm = run_validation(state, step)
+                logger.log_now(step + 1, vm)
+                # best-validation checkpoint (reference TrainLoop parity:
+                # periodic valid eval + best-model saving, SURVEY.md §5)
+                if vm["valid_elbo"] > best_valid_elbo:
+                    best_valid_elbo = vm["valid_elbo"]
+                    ckpt.save_checkpoint(results_dir / "best",
+                                         jax.device_get(state), step + 1)
+                    logger.write_json("best.json",
+                                      {"step": step + 1, **vm})
             if (step + 1) % cfg.train.checkpoint_every == 0 or step + 1 == stop:
                 ckpt.save_checkpoint(ckpt_dir, jax.device_get(state), step + 1)
     return state

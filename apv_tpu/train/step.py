@@ -33,6 +33,7 @@ from apv_tpu.utils.config import Config
 class TrainFns(NamedTuple):
     init_fn: Callable[[jax.Array], TrainState]
     train_step: Callable[[TrainState, dict], tuple[TrainState, dict]]
+    eval_step: Callable[[TrainState, dict], dict]
     model: Any
     discriminator: Any
 
@@ -164,6 +165,18 @@ def make_train_fns(cfg: Config) -> TrainFns:
         return (state.replace(d_params=d_params, d_opt_state=d_opt_state),
                 {"d_loss": d_loss, "d_acc": d_acc})
 
+    # -- validation step (periodic Evaluator.run() parity, SURVEY.md §3.1) --
+
+    def eval_step(state: TrainState, batch: dict):
+        """Single-sample ELBO on a batch; deterministic in (rng, batch)."""
+        key = jax.random.fold_in(state.rng, 0x7FFFFFFF)
+        k_deq, k_z = jax.random.split(key)
+        x_in, x_target = prepare_batch(cfg, batch, k_deq)
+        recon, kl, _ = L.elbo_terms(encode, decode, state.params, x_in,
+                                    x_target, k_z, cfg.model.likelihood)
+        return {"valid_elbo": jnp.mean(recon - kl),
+                "valid_recon": jnp.mean(recon), "valid_kl": jnp.mean(kl)}
+
     # -- the step -----------------------------------------------------------
 
     def train_step(state: TrainState, batch: dict):
@@ -185,5 +198,5 @@ def make_train_fns(cfg: Config) -> TrainFns:
         state = state.replace(step=state.step + 1)
         return state, metrics
 
-    return TrainFns(init_fn=init_fn, train_step=train_step, model=model,
-                    discriminator=disc)
+    return TrainFns(init_fn=init_fn, train_step=train_step,
+                    eval_step=eval_step, model=model, discriminator=disc)

@@ -57,6 +57,8 @@ class TrainConfig:
     log_every: int = 100
     checkpoint_every: int = 2_000
     grad_clip_norm: float = 5.0
+    eval_every: int = 1_000            # periodic validation (0 = off)
+    valid_fraction: float = 0.05       # carved from the train split
 
 
 @dataclass(frozen=True)

@@ -37,6 +37,16 @@ class MetricLogger:
         elif step == self.trace_steps[1]:
             jax.profiler.stop_trace()
 
+    def log_now(self, step: int, metrics: dict) -> None:
+        """Unconditional structured log (validation results etc.)."""
+        record = {"step": step}
+        record.update({k: float(v) for k, v in metrics.items()})
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        parts = [f"step {step}"] + [f"{k}={v:.4g}" for k, v in record.items()
+                                    if k != "step"]
+        print("  ".join(parts), flush=True)
+
     def log(self, step: int, metrics: dict) -> None:
         if step % self.log_every != 0:
             return
