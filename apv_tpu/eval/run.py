@@ -77,8 +77,17 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
             d_apply, dp, cfg.model.z_dim, key))(
                 d_params, jax.random.PRNGKey(seed + 17))
 
-    iwae_fn = make_iwae_fn(model, cfg.model.likelihood, k=k, chunk=chunk,
-                           d_apply=d_apply)
+    if cfg.eval.k_shards > 1:
+        from apv_tpu.eval.sharded import make_mesh_2d, make_sharded_iwae_fn
+        n_dev = jax.device_count()
+        n_k = min(cfg.eval.k_shards, n_dev)
+        mesh = make_mesh_2d(n_dev // n_k, n_k)
+        iwae_fn = make_sharded_iwae_fn(model, cfg.model.likelihood, k=k,
+                                       chunk=chunk, mesh=mesh,
+                                       d_apply=d_apply)
+    else:
+        iwae_fn = make_iwae_fn(model, cfg.model.likelihood, k=k, chunk=chunk,
+                               d_apply=d_apply)
     jit_iwae = jax.jit(iwae_fn)
 
     arrays = eval_arrays(cfg, dataset,

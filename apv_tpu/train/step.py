@@ -132,6 +132,7 @@ def make_train_fns(cfg: Config) -> TrainFns:
                                                 cfg.adversarial.variant)
                 elbo = elbo + cfg.adversarial.weight * adv_term
                 aux["g_adv"] = jnp.mean(adv_term)
+                aux["z_q"] = jax.lax.stop_gradient(z)
             loss = -jnp.mean(elbo)
             aux["elbo"] = jnp.mean(recon - kl)   # plain ELBO for reporting
             return loss, aux
@@ -140,16 +141,20 @@ def make_train_fns(cfg: Config) -> TrainFns:
             state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        z_q = aux.pop("z_q", None)
         aux["loss"] = loss
         aux["grad_norm"] = optax.global_norm(grads)
-        return state.replace(params=params, opt_state=opt_state), aux
+        return state.replace(params=params, opt_state=opt_state), aux, z_q
 
-    def d_phase(state: TrainState, x_in, key):
+    def d_phase(state: TrainState, x_in, key, z_q=None):
+        """One discriminator update; ``z_q`` reuses posterior samples from
+        the G forward (saves a full encoder pass — see train_step)."""
         k_post, k_prior = jax.random.split(key)
-        # Posterior samples with NO gradient into the VAE.
-        mean, logvar = encode(jax.lax.stop_gradient(state.params), x_in)
-        z_q = ops.reparam_sample(k_post, mean, logvar)
-        z_q = jax.lax.stop_gradient(z_q)
+        if z_q is None:
+            # Posterior samples with NO gradient into the VAE.
+            mean, logvar = encode(jax.lax.stop_gradient(state.params), x_in)
+            z_q = ops.reparam_sample(k_post, mean, logvar)
+            z_q = jax.lax.stop_gradient(z_q)
         z_p = jax.random.normal(k_prior, z_q.shape, jnp.float32)
 
         def loss_fn(d_params):
@@ -187,13 +192,22 @@ def make_train_fns(cfg: Config) -> TrainFns:
         beta = _beta(cfg, state.step)
 
         metrics = {}
-        if adv:
-            # Reference order (SURVEY.md §3.2): D step(s), then G step.
+        if adv and not cfg.adversarial.d_reuse_posterior:
+            # Reference order (SURVEY.md §3.2): D step(s), then G step,
+            # with the D phase encoding its own posterior samples.
             for i in range(cfg.adversarial.n_critic):
                 state, d_metrics = d_phase(state, x_in, k_ds[i])
             metrics.update(d_metrics)
-        state, g_metrics = g_phase(state, x_in, x_target, k_g, beta)
+        state, g_metrics, z_q = g_phase(state, x_in, x_target, k_g, beta)
         metrics.update(g_metrics)
+        if adv and cfg.adversarial.d_reuse_posterior:
+            # G-then-D variant: D reuses the G forward's posterior samples
+            # (z_q drawn under pre-update params, exactly what a D-first
+            # step would have seen) — saves one full encoder forward per
+            # step. Fresh prior samples per critic step either way.
+            for i in range(cfg.adversarial.n_critic):
+                state, d_metrics = d_phase(state, x_in, k_ds[i], z_q=z_q)
+            metrics.update(d_metrics)
         metrics["beta"] = beta
         state = state.replace(step=state.step + 1)
         return state, metrics

@@ -39,6 +39,10 @@ class AdversarialConfig:
     variant: str = "learned_prior"
     weight: float = 1.0                        # λ on the generator's adv term
     n_critic: int = 1                          # D steps per G step
+    # Reuse the G forward's posterior samples for the D phase (G-then-D
+    # ordering) — saves one encoder forward per step; False restores the
+    # reference's D-first ordering with its own encode (SURVEY.md §3.2).
+    d_reuse_posterior: bool = True
     d_lr: float = 1e-4
     d_widths: tuple[int, ...] = (256, 256)
     label_smoothing: float = 0.0
@@ -76,6 +80,9 @@ class EvalConfig:
     iwae_chunk: int = 50
     batch_size: int = 64
     max_examples: int | None = None            # cap test examples (smoke runs)
+    # >1 shards the importance-sample axis over a (data, k) device mesh
+    # with a cross-chip logsumexp merge (eval/sharded.py).
+    k_shards: int = 1
 
 
 @dataclass(frozen=True)

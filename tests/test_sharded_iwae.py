@@ -1,0 +1,90 @@
+"""k-sharded IWAE: the cross-chip logsumexp merge must reproduce the
+single-shard estimator exactly (same key schedule), and scale over a 2-D
+mesh (SURVEY.md §2.6 "IWAE-k ... k-sharding")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conftest import tiny_config
+from apv_tpu.eval.sharded import make_mesh_2d, make_sharded_iwae_fn
+from apv_tpu.models import build_model
+from apv_tpu.train.step import make_train_fns
+
+
+def _setup():
+    cfg = tiny_config("mnist_vae")
+    fns = make_train_fns(cfg)
+    state = fns.init_fn(jax.random.PRNGKey(0))
+    model = build_model(cfg.model)
+    rng = np.random.default_rng(0)
+    x = (rng.random((8, 28, 28, 1)) < 0.4).astype(np.float32)
+    return cfg, model, state.params, x
+
+
+def test_ksharded_matches_single_shard_exactly():
+    """n_k=4 merged result == n_k=1 result with identical total k and key
+    schedule (associativity of the streaming fold, now across chips)."""
+    cfg, model, params, x = _setup()
+    key = jax.random.PRNGKey(11)
+
+    mesh_1 = make_mesh_2d(1, 1, jax.devices()[:1])
+    f1 = make_sharded_iwae_fn(model, "bernoulli", k=16, chunk=4, mesh=mesh_1)
+    ll_1 = np.asarray(jax.jit(f1)(params, {}, x, x, key, 0.0))
+
+    mesh_4 = make_mesh_2d(1, 4, jax.devices()[:4])
+    f4 = make_sharded_iwae_fn(model, "bernoulli", k=16, chunk=4, mesh=mesh_4)
+    ll_4 = np.asarray(jax.jit(f4)(params, {}, x, x, key, 0.0))
+
+    np.testing.assert_allclose(ll_4, ll_1, rtol=1e-5, atol=1e-4)
+
+
+def test_full_2d_mesh_data_and_k():
+    """2 data shards × 4 k shards: runs, finite, batch stays intact."""
+    cfg, model, params, x = _setup()
+    mesh = make_mesh_2d(2, 4)
+    f = make_sharded_iwae_fn(model, "bernoulli", k=32, chunk=4, mesh=mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ll = np.asarray(jax.jit(f)(params, {}, xs, xs, jax.random.PRNGKey(3), 0.0))
+    assert ll.shape == (8,)
+    assert np.all(np.isfinite(ll))
+
+
+def test_ksharded_with_adversarial_prior():
+    cfg, model, params, x = _setup()
+    from apv_tpu.models import LatentDiscriminator
+    disc = LatentDiscriminator((16,))
+    d_params = disc.init(jax.random.PRNGKey(1),
+                         jnp.zeros((1, cfg.model.z_dim)))["params"]
+
+    def d_apply(dp, z):
+        return disc.apply({"params": dp}, z)
+
+    mesh = make_mesh_2d(2, 2, jax.devices()[:4])
+    f = make_sharded_iwae_fn(model, "bernoulli", k=8, chunk=2, mesh=mesh,
+                             d_apply=d_apply)
+    ll = np.asarray(jax.jit(f)(params, d_params, x, x,
+                               jax.random.PRNGKey(5), 0.12))
+    assert np.all(np.isfinite(ll))
+
+
+def test_evaluate_nll_with_k_shards():
+    """End-to-end evaluate path with the k-sharded estimator."""
+    from apv_tpu.eval.run import evaluate_nll
+    cfg = tiny_config("mnist_vae", **{"eval.k_shards": 2})
+    fns = make_train_fns(cfg)
+    state = fns.init_fn(jax.random.PRNGKey(0))
+    res = evaluate_nll(cfg, state.params, k=8, chunk=4, max_examples=32)
+    assert np.isfinite(res["nll_nats"])
+    assert res["num_examples"] == 32
+
+
+def test_rejects_bad_shard_arithmetic():
+    import pytest
+    cfg, model, params, x = _setup()
+    mesh = make_mesh_2d(1, 4, jax.devices()[:4])
+    with pytest.raises(ValueError):
+        make_sharded_iwae_fn(model, "bernoulli", k=10, chunk=2, mesh=mesh)
+    with pytest.raises(ValueError):
+        make_mesh_2d(4, 4)          # only 8 devices
