@@ -17,6 +17,9 @@ def _add_common(p: argparse.ArgumentParser, default_preset: str) -> None:
                    metavar="PATH=VALUE",
                    help="dot-path config override, e.g. train.lr=3e-4")
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (numerics debugging, "
+                        "SURVEY.md §5)")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -49,6 +52,9 @@ def main(argv: list[str] | None = None) -> int:
     p_ood.add_argument("--seed", type=int, default=0)
 
     args = parser.parse_args(argv)
+    if getattr(args, "debug_nans", False):
+        import jax
+        jax.config.update("jax_debug_nans", True)
     import apv_tpu as api
 
     if args.command == "train":
