@@ -87,6 +87,24 @@ def sample(config: str | Config = "mnist_vae", *,
     return images
 
 
+def export_artifact(config: str | Config = "mnist_vae", *,
+                    overrides: list[str] | None = None,
+                    checkpoint_dir: str | None = None,
+                    what: str = "sampler", out_path: str | None = None):
+    """AOT-export a serving artifact (StableHLO, params baked in)."""
+    from apv_tpu import serving
+
+    cfg = _resolve(config, overrides)
+    state = _restore_state(cfg, checkpoint_dir)
+    out = out_path or (Path(cfg.results_dir) / cfg.name / f"{what}.stablehlo")
+    if what == "sampler":
+        d_params = state.d_params if cfg.adversarial.enabled else None
+        return serving.export_sampler(cfg, state.params, d_params, out)
+    if what == "scorer":
+        return serving.export_scorer(cfg, state.params, out)
+    raise ValueError(f"unknown artifact {what!r} (sampler|scorer)")
+
+
 def ood_score(config: str | Config = "ood_suite", *,
               overrides: list[str] | None = None,
               checkpoint_dir: str | None = None, seed: int = 0) -> dict:

@@ -51,6 +51,13 @@ def main(argv: list[str] | None = None) -> int:
     _add_common(p_ood, "ood_suite")
     p_ood.add_argument("--seed", type=int, default=0)
 
+    p_exp = sub.add_parser("export",
+                           help="AOT-export a serving artifact (StableHLO)")
+    _add_common(p_exp, "mnist_vae")
+    p_exp.add_argument("--what", choices=("sampler", "scorer"),
+                       default="sampler")
+    p_exp.add_argument("--out", default=None)
+
     args = parser.parse_args(argv)
     if getattr(args, "debug_nans", False):
         import jax
@@ -77,6 +84,11 @@ def main(argv: list[str] | None = None) -> int:
                                checkpoint_dir=args.checkpoint_dir,
                                seed=args.seed)
         print(json.dumps(result, indent=2))
+    elif args.command == "export":
+        path = api.export_artifact(args.preset, overrides=args.overrides,
+                                   checkpoint_dir=args.checkpoint_dir,
+                                   what=args.what, out_path=args.out)
+        print(f"exported {args.what} to {path}")
     return 0
 
 

@@ -115,18 +115,33 @@ def _load_svhn(root: Path, split: str):
 # Deterministic synthetic fallback (SURVEY.md §7 risk R1)
 # ---------------------------------------------------------------------------
 
+# Per-dataset frequency-family offsets: guarantees distinct synthetic
+# distributions for the OOD pairs (mnist vs fashion_mnist, cifar10 vs svhn).
+_FAMILY_OFFSET = {"mnist": 0.0, "fashion_mnist": 2.5,
+                  "cifar10": 0.7, "svhn": 3.1}
+
+
+def _stable_seed(*parts: str) -> int:
+    """Process-independent seed (python's hash() is salted per process)."""
+    import hashlib
+    digest = hashlib.blake2s("/".join(parts).encode(),
+                             digest_size=4).digest()
+    return int.from_bytes(digest, "big")
+
+
 def _synthetic(spec: DatasetSpec, split: str, n: int | None) -> tuple[np.ndarray, np.ndarray]:
     """Structured procedural images: class-conditional low-frequency fields.
 
     Not noise — each class mixes two spatial sinusoids with class-dependent
     frequency/phase plus a per-sample Gaussian blob, so a VAE has real
     structure to model and OOD pairs (different name → different statistics)
-    remain distinguishable. Deterministic in (dataset, split).
+    remain distinguishable. Deterministic in (dataset, split) across
+    processes; the frequency *family* depends on the dataset name only, so
+    train and test splits are draws from the same distribution.
     """
     h, w, c = spec.shape
     n = n if n is not None else (spec.n_train if split == "train" else spec.n_test)
-    seed = abs(hash((spec.name, split))) % (2 ** 31)
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng(_stable_seed(spec.name, split))
 
     labels = rng.integers(0, spec.n_classes, size=n).astype(np.int32)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
@@ -134,7 +149,7 @@ def _synthetic(spec: DatasetSpec, split: str, n: int | None) -> tuple[np.ndarray
 
     # class-dependent frequencies; dataset name shifts the whole family so
     # e.g. synthetic mnist vs fashion_mnist differ in distribution.
-    base = 2.0 + (seed % 5)
+    base = 2.0 + _FAMILY_OFFSET.get(spec.name, _stable_seed(spec.name) % 5)
     freq = base + labels[:, None, None].astype(np.float32)          # [n,1,1]
     phase = rng.uniform(0, 2 * np.pi, size=(n, 1, 1)).astype(np.float32)
     field = (np.sin(2 * np.pi * freq * xx[None] + phase)

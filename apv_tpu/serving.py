@@ -1,0 +1,101 @@
+"""Serving export: AOT-compiled generation/scoring artifacts
+(north star: "sampling runs the decoder as a batched XLA generation path";
+this module makes that path a deployable artifact).
+
+``export_sampler`` serializes the prior→decoder→image function (params
+baked in) to portable StableHLO via ``jax.export``; ``load_exported`` runs
+it anywhere a compatible XLA backend exists — no apv_tpu, flax, or model
+code needed at serving time. ``export_scorer`` does the same for the
+single-sample ELBO scorer (per-sample log-likelihood screening, the cheap
+OOD path).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from apv_tpu.models import LatentDiscriminator, build_model
+from apv_tpu.sample.run import sample_prior
+from apv_tpu.train.losses import (decoder_output_to_likelihood_params,
+                                  elbo_terms)
+from apv_tpu.utils.config import Config
+
+
+def _sampler_fn(cfg: Config, params, d_params):
+    model = build_model(cfg.model)
+    use_adv = cfg.adversarial.enabled and d_params is not None
+    disc = (LatentDiscriminator(tuple(cfg.adversarial.d_widths))
+            if use_adv else None)
+
+    def fn(seed: jax.Array) -> jax.Array:
+        """seed int32[] -> images [n, H, W, C] in [0,1]."""
+        key = jax.random.PRNGKey(seed)
+        if use_adv:
+            z = sample_prior(key, cfg.eval.batch_size, cfg.model.z_dim,
+                             d_apply=lambda dp, zz: disc.apply(
+                                 {"params": dp}, zz),
+                             d_params=d_params)
+        else:
+            z = sample_prior(key, cfg.eval.batch_size, cfg.model.z_dim)
+        out = model.apply({"params": params}, z, method="decode")
+        lik = decoder_output_to_likelihood_params(
+            out, cfg.model.likelihood, cfg.model.image_shape[2])
+        if cfg.model.likelihood == "bernoulli":
+            return jax.nn.sigmoid(lik[0])
+        return jnp.clip(lik[0], 0.0, 1.0)
+
+    return fn
+
+
+def _scorer_fn(cfg: Config, params):
+    model = build_model(cfg.model)
+
+    def encode(p, x):
+        return model.apply({"params": p}, x, method="encode")
+
+    def decode(p, z):
+        return model.apply({"params": p}, z, method="decode")
+
+    def fn(x: jax.Array, seed: jax.Array) -> jax.Array:
+        """images [B,H,W,C] in [0,1] -> per-sample ELBO [B] (nats)."""
+        recon, kl, _ = elbo_terms(encode, decode, params, x, x,
+                                  jax.random.PRNGKey(seed),
+                                  cfg.model.likelihood)
+        return recon - kl
+
+    return fn
+
+
+_PLATFORMS = ("tpu", "cpu")     # lower for both: artifacts are portable
+
+
+def export_sampler(cfg: Config, params, d_params, out_path: str | Path) -> Path:
+    """Serialize the batched generation path (params baked in)."""
+    fn = _sampler_fn(cfg, params, d_params)
+    exp = jax_export.export(jax.jit(fn), platforms=_PLATFORMS)(
+        jax.ShapeDtypeStruct((), jnp.int32))
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_bytes(exp.serialize())
+    return out_path
+
+
+def export_scorer(cfg: Config, params, out_path: str | Path) -> Path:
+    h, w, c = cfg.model.image_shape
+    fn = _scorer_fn(cfg, params)
+    exp = jax_export.export(jax.jit(fn), platforms=_PLATFORMS)(
+        jax.ShapeDtypeStruct((cfg.eval.batch_size, h, w, c), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.int32))
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_bytes(exp.serialize())
+    return out_path
+
+
+def load_exported(path: str | Path):
+    """Deserialize an exported artifact; returns obj with ``.call(*args)``."""
+    return jax_export.deserialize(Path(path).read_bytes())

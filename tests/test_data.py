@@ -25,6 +25,27 @@ def test_synthetic_fallback_shapes(name):
     np.testing.assert_array_equal(images, images2)
 
 
+def test_synthetic_seed_is_process_independent():
+    """Golden values: python's salted hash() must never sneak back in —
+    a per-process seed means train and eval processes see different data."""
+    from apv_tpu.data.datasets import _stable_seed
+    assert _stable_seed("mnist", "test") == _stable_seed("mnist", "test")
+    # blake2s digest of "mnist/test" — fixed forever
+    assert _stable_seed("mnist", "test") == 547395361
+    assert _stable_seed("mnist", "train") != _stable_seed("mnist", "test")
+
+
+def test_synthetic_train_test_same_family():
+    """Train/test of one synthetic dataset must come from one distribution
+    (the base frequency family depends on the name only)."""
+    tr, _ = load_dataset("mnist", "train", synthetic_size=512)
+    te, _ = load_dataset("mnist", "test", synthetic_size=512)
+    # same family -> closely matching pixel-intensity histograms
+    h_tr, _ = np.histogram(tr, bins=16, range=(0, 255), density=True)
+    h_te, _ = np.histogram(te, bins=16, range=(0, 255), density=True)
+    np.testing.assert_allclose(h_tr, h_te, atol=0.0005)
+
+
 def test_synthetic_datasets_differ_across_names():
     a, _ = load_dataset("mnist", "test", synthetic_size=32)
     b, _ = load_dataset("fashion_mnist", "test", synthetic_size=32)
