@@ -59,6 +59,8 @@ def main(argv: list[str] | None = None) -> int:
     p_exp.add_argument("--out", default=None)
 
     args = parser.parse_args(argv)
+    from apv_tpu.utils.compcache import enable_default_cache
+    enable_default_cache()
     if getattr(args, "debug_nans", False):
         import jax
         jax.config.update("jax_debug_nans", True)

@@ -99,23 +99,38 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
     best_valid_elbo = -float("inf")
     stop = cfg.train.steps if max_steps is None else min(
         start + max_steps, cfg.train.steps)
-    with mesh:
-        for step in range(start, stop):
-            logger.maybe_trace(step)
-            state, metrics = step_fn(state, next(batches))
-            logger.log(step, metrics)
-            if valid_batches and cfg.train.eval_every > 0 \
-                    and (step + 1) % cfg.train.eval_every == 0:
-                vm = run_validation(state, step)
-                logger.log_now(step + 1, vm)
-                # best-validation checkpoint (reference TrainLoop parity:
-                # periodic valid eval + best-model saving, SURVEY.md §5)
-                if vm["valid_elbo"] > best_valid_elbo:
-                    best_valid_elbo = vm["valid_elbo"]
-                    ckpt.save_checkpoint(results_dir / "best",
-                                         jax.device_get(state), step + 1)
-                    logger.write_json("best.json",
-                                      {"step": step + 1, **vm})
-            if (step + 1) % cfg.train.checkpoint_every == 0 or step + 1 == stop:
-                ckpt.save_checkpoint(ckpt_dir, jax.device_get(state), step + 1)
+    step = start
+    try:
+        with mesh:
+            for step in range(start, stop):
+                logger.maybe_trace(step)
+                state, metrics = step_fn(state, next(batches))
+                logger.log(step, metrics)
+                if valid_batches and cfg.train.eval_every > 0 \
+                        and (step + 1) % cfg.train.eval_every == 0:
+                    vm = run_validation(state, step)
+                    logger.log_now(step + 1, vm)
+                    # best-validation checkpoint (reference TrainLoop
+                    # parity: periodic valid eval + best-model saving,
+                    # SURVEY.md §5)
+                    if vm["valid_elbo"] > best_valid_elbo:
+                        best_valid_elbo = vm["valid_elbo"]
+                        ckpt.save_checkpoint(results_dir / "best",
+                                             jax.device_get(state), step + 1)
+                        logger.write_json("best.json",
+                                          {"step": step + 1, **vm})
+                if (step + 1) % cfg.train.checkpoint_every == 0 \
+                        or step + 1 == stop:
+                    ckpt.save_checkpoint(ckpt_dir, jax.device_get(state),
+                                         step + 1)
+    except KeyboardInterrupt:
+        # Graceful stop: persist progress so --resume continues here.
+        # Note: on the axon relay a SIGINT landing mid-device-step can
+        # surface as a JaxRuntimeError instead (backend torn down) — that
+        # path intentionally does NOT save, since the state may be
+        # unreadable; the periodic checkpoint covers it.
+        ckpt.save_checkpoint(ckpt_dir, jax.device_get(state), step + 1)
+        print(f"interrupted at step {step + 1}; checkpoint saved — resume "
+              f"with --resume", flush=True)
+        raise
     return state

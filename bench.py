@@ -26,6 +26,8 @@ TARGET_MULTIPLIER = 5.0
 
 
 def main() -> None:
+    from apv_tpu.utils.compcache import enable_default_cache
+    enable_default_cache()
     from apv_tpu.parallel import data_sharding, make_mesh, replicated
     from apv_tpu.train.step import make_train_fns
     from apv_tpu.utils.config import get_preset
