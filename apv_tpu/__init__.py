@@ -15,10 +15,10 @@ Layer map (SURVEY.md §1):
     ops/       L2' fused Pallas kernels with custom VJPs + jnp fallbacks
     data/      L1  dataset loaders, binarization/dequantization, host→HBM pipe
     models/    L3  flax conv/ResNet encoders+decoders, latent discriminator
-    train/     L4  ELBO + adversarial alternating-update train steps
+    training/  L4  ELBO + adversarial alternating-update train steps
     parallel/  —   mesh construction, shardings (DP over ICI)
     eval/      L5  IWAE-k estimator at scale, bits/dim, OOD suite
-    sample/    L6  batched XLA decode path, image grids
+    sampling/  L6  batched XLA decode path, image grids
     utils/     L7  config presets, checkpointing, metrics logging
 """
 

@@ -20,7 +20,7 @@ def _resolve(config: str | Config, overrides: list[str] | None) -> Config:
 
 
 def _restore_state(cfg: Config, checkpoint_dir: str | None = None):
-    from apv_tpu.train.step import make_train_fns
+    from apv_tpu.training.step import make_train_fns
     from apv_tpu.utils import checkpoint as ckpt
 
     fns = make_train_fns(cfg)
@@ -34,7 +34,7 @@ def train(config: str | Config = "mnist_vae", *,
           overrides: list[str] | None = None, resume: bool = False,
           max_steps: int | None = None, trace_dir: str | None = None):
     """Train the configured model; returns the final TrainState."""
-    from apv_tpu.train import train_loop
+    from apv_tpu.training import train_loop
     cfg = _resolve(config, overrides)
     return train_loop(cfg, resume=resume, max_steps=max_steps,
                       trace_dir=trace_dir)
@@ -66,7 +66,7 @@ def sample(config: str | Config = "mnist_vae", *,
            out_path: str | None = None):
     """Decode n prior samples; writes a PNG grid, returns the images."""
     from apv_tpu.models import LatentDiscriminator, build_model
-    from apv_tpu.sample import generate_samples, save_image_grid
+    from apv_tpu.sampling import generate_samples, save_image_grid
 
     cfg = _resolve(config, overrides)
     state = _restore_state(cfg, checkpoint_dir)

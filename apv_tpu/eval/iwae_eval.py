@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from apv_tpu.core import distributions as D
 from apv_tpu.core.iwae import iwae_log_likelihood
-from apv_tpu.train.losses import recon_log_likelihood
+from apv_tpu.training.losses import recon_log_likelihood
 
 
 def make_iwae_fn(model, likelihood: str, k: int, chunk: int,

@@ -29,7 +29,7 @@ except ImportError:                      # pragma: no cover
 from apv_tpu.core import distributions as D
 from apv_tpu.core.iwae import (LogSumExpState, streaming_logsumexp_init,
                                streaming_logsumexp_update)
-from apv_tpu.train.losses import recon_log_likelihood
+from apv_tpu.training.losses import recon_log_likelihood
 
 DATA_AXIS = "data"
 K_AXIS = "k"

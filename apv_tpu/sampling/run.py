@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from apv_tpu.train.losses import decoder_output_to_likelihood_params
+from apv_tpu.training.losses import decoder_output_to_likelihood_params
 
 
 def sample_prior(key: jax.Array, n: int, z_dim: int, *, d_apply=None,

@@ -19,8 +19,8 @@ import jax.numpy as jnp
 from jax import export as jax_export
 
 from apv_tpu.models import LatentDiscriminator, build_model
-from apv_tpu.sample.run import sample_prior
-from apv_tpu.train.losses import (decoder_output_to_likelihood_params,
+from apv_tpu.sampling.run import sample_prior
+from apv_tpu.training.losses import (decoder_output_to_likelihood_params,
                                   elbo_terms)
 from apv_tpu.utils.config import Config
 

@@ -6,6 +6,6 @@ adversarial-prior alternating G/D updates (configs 2-3) — both phases inside
 one compiled step, gradients all-reduced over ICI by XLA via shardings.
 """
 
-from apv_tpu.train.state import TrainState  # noqa: F401
-from apv_tpu.train.step import make_train_fns  # noqa: F401
-from apv_tpu.train.loop import train_loop  # noqa: F401
+from apv_tpu.training.state import TrainState  # noqa: F401
+from apv_tpu.training.step import make_train_fns  # noqa: F401
+from apv_tpu.training.loop import train_loop  # noqa: F401

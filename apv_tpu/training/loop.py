@@ -16,8 +16,8 @@ import numpy as np
 
 from apv_tpu.data import Batcher, load_dataset, prefetch_to_device, static_binarize
 from apv_tpu.parallel import data_sharding, make_mesh, replicated
-from apv_tpu.train.state import TrainState
-from apv_tpu.train.step import make_train_fns
+from apv_tpu.training.state import TrainState
+from apv_tpu.training.step import make_train_fns
 from apv_tpu.utils import checkpoint as ckpt
 from apv_tpu.utils.config import Config
 from apv_tpu.utils.logging import MetricLogger

@@ -25,8 +25,8 @@ import optax
 from apv_tpu import ops
 from apv_tpu.data.preprocess import normalize_center, uniform_dequantize
 from apv_tpu.models import LatentDiscriminator, build_model
-from apv_tpu.train import losses as L
-from apv_tpu.train.state import TrainState
+from apv_tpu.training import losses as L
+from apv_tpu.training.state import TrainState
 from apv_tpu.utils.config import Config
 
 
@@ -130,7 +130,15 @@ def make_train_fns(cfg: Config) -> TrainFns:
                 d_logits = d_apply(jax.lax.stop_gradient(state.d_params), z)
                 adv_term = L.generator_adv_term(d_logits,
                                                 cfg.adversarial.variant)
-                elbo = elbo + cfg.adversarial.weight * adv_term
+                # learned_prior: D(z) is part of log p*(z), so it carries
+                # the same β as the KL (log p*(z) = log p0(z) + D(z) - logZ
+                # enters the ELBO's prior term); unscaled it overwhelms the
+                # objective during β warmup (observed: D saturates, g_adv
+                # grows unchecked). AAE's regularizer is independent of β.
+                adv_w = cfg.adversarial.weight
+                if cfg.adversarial.variant == "learned_prior":
+                    adv_w = adv_w * beta
+                elbo = elbo + adv_w * adv_term
                 aux["g_adv"] = jnp.mean(adv_term)
                 aux["z_q"] = jax.lax.stop_gradient(z)
             loss = -jnp.mean(elbo)

@@ -29,7 +29,7 @@ def main() -> None:
     from apv_tpu.utils.compcache import enable_default_cache
     enable_default_cache()
     from apv_tpu.parallel import data_sharding, make_mesh, replicated
-    from apv_tpu.train.step import make_train_fns
+    from apv_tpu.training.step import make_train_fns
     from apv_tpu.utils.config import get_preset
 
     cfg = get_preset("cifar_advprior_resnet")

@@ -10,7 +10,7 @@ from apv_tpu.eval.iwae_eval import estimate_log_partition, make_iwae_fn
 from apv_tpu.eval.ood import auroc, ood_scores
 from apv_tpu.eval.run import evaluate_nll
 from apv_tpu.models import LatentDiscriminator, build_model
-from apv_tpu.train.step import make_train_fns
+from apv_tpu.training.step import make_train_fns
 
 
 def _init_state(cfg):
@@ -102,7 +102,7 @@ def test_ood_elbo_score_no_discriminator():
 
 
 def test_sampling_and_grid(tmp_path):
-    from apv_tpu.sample import generate_samples, save_image_grid
+    from apv_tpu.sampling import generate_samples, save_image_grid
     cfg = tiny_config("mnist_vae")
     state = _init_state(cfg)
     model = build_model(cfg.model)
@@ -118,7 +118,7 @@ def test_sampling_and_grid(tmp_path):
 
 
 def test_sir_prior_sampling():
-    from apv_tpu.sample.run import sample_prior
+    from apv_tpu.sampling.run import sample_prior
     disc = LatentDiscriminator((16,))
     d_params = disc.init(jax.random.PRNGKey(0), jnp.zeros((1, 2)))["params"]
 

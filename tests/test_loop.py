@@ -6,7 +6,7 @@ import json
 import numpy as np
 
 from conftest import tiny_config
-from apv_tpu.train import train_loop
+from apv_tpu.training import train_loop
 from apv_tpu.utils import checkpoint as ckpt
 
 

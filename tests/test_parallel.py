@@ -6,7 +6,7 @@ import numpy as np
 
 from conftest import tiny_config
 from apv_tpu.parallel import data_sharding, make_mesh, replicated
-from apv_tpu.train.step import make_train_fns
+from apv_tpu.training.step import make_train_fns
 from test_train import _synthetic_batch
 
 

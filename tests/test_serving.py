@@ -6,7 +6,7 @@ import numpy as np
 
 from conftest import tiny_config
 from apv_tpu import serving
-from apv_tpu.train.step import make_train_fns
+from apv_tpu.training.step import make_train_fns
 
 
 def _state(cfg):

@@ -9,7 +9,7 @@ import numpy as np
 from conftest import tiny_config
 from apv_tpu.eval.sharded import make_mesh_2d, make_sharded_iwae_fn
 from apv_tpu.models import build_model
-from apv_tpu.train.step import make_train_fns
+from apv_tpu.training.step import make_train_fns
 
 
 def _setup():

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from conftest import tiny_config
-from apv_tpu.train.step import make_train_fns
+from apv_tpu.training.step import make_train_fns
 
 
 def _synthetic_batch(cfg, n, seed=0):
