@@ -19,5 +19,6 @@ def build_model(model_cfg) -> nn.Module:
         return ResNetVAE(z_dim=model_cfg.z_dim, widths=tuple(model_cfg.widths),
                          blocks_per_stage=model_cfg.blocks_per_stage,
                          image_shape=tuple(model_cfg.image_shape),
-                         likelihood=model_cfg.likelihood)
+                         likelihood=model_cfg.likelihood,
+                         upsample=getattr(model_cfg, "upsample", "nearest"))
     raise ValueError(f"unknown model family {model_cfg.family!r}")

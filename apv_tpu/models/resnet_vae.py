@@ -66,6 +66,10 @@ class ResNetDecoder(nn.Module):
     blocks_per_stage: int = 2
     out_params: int = 2                        # disc-logistic: mean, log_scale
     dtype: jnp.dtype = jnp.bfloat16
+    # 'nearest': broadcast-upsample + 3x3 conv (no checkerboard artifacts);
+    # 'conv_transpose': one fused stride-2 4x4 transposed conv (fewer HBM
+    # round-trips; kernel 4 divisible by stride avoids most checkerboard)
+    upsample: str = "nearest"
 
     @nn.compact
     def __call__(self, z):
@@ -79,8 +83,12 @@ class ResNetDecoder(nn.Module):
             for _ in range(self.blocks_per_stage):
                 h = ResBlock(w, self.dtype)(h)
             if i < len(self.widths) - 1:
-                h = _upsample2x(h)
-                h = nn.Conv(self.widths[i + 1], (3, 3), dtype=self.dtype)(h)
+                if self.upsample == "conv_transpose":
+                    h = nn.ConvTranspose(self.widths[i + 1], (4, 4),
+                                         strides=(2, 2), dtype=self.dtype)(h)
+                else:
+                    h = _upsample2x(h)
+                    h = nn.Conv(self.widths[i + 1], (3, 3), dtype=self.dtype)(h)
         h = nn.GroupNorm(num_groups=8, dtype=self.dtype)(h)
         h = nn.gelu(h)
         out = nn.Conv(c * self.out_params, (3, 3), dtype=jnp.float32,
@@ -96,6 +104,7 @@ class ResNetVAE(nn.Module):
     image_shape: tuple[int, int, int] = (32, 32, 3)
     dtype: jnp.dtype = jnp.bfloat16
     likelihood: str = "discretized_logistic"
+    upsample: str = "nearest"
 
     def setup(self):
         self.encoder = ResNetEncoder(self.z_dim, self.widths,
@@ -104,7 +113,7 @@ class ResNetVAE(nn.Module):
         self.decoder = ResNetDecoder(self.image_shape,
                                      tuple(reversed(self.widths)),
                                      self.blocks_per_stage, out_params,
-                                     self.dtype)
+                                     self.dtype, self.upsample)
 
     def encode(self, x):
         return self.encoder(x)

@@ -22,6 +22,11 @@ def enable_default_cache() -> None:
     import jax
     if jax.config.jax_compilation_cache_dir:
         return
+    if jax.default_backend() != "tpu":
+        # CPU AOT cache entries record exact host machine features; loading
+        # one compiled under a different feature set warns about possible
+        # SIGILL. CPU compiles are cheap anyway — cache only the TPU tier.
+        return
     _DEFAULT.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(_DEFAULT))
     # cache everything, even fast compiles — process startup is the cost
