@@ -25,8 +25,10 @@ def _restore_state(cfg: Config, checkpoint_dir: str | None = None):
 
     fns = make_train_fns(cfg)
     template = jax.eval_shape(fns.init_fn, jax.random.PRNGKey(0))
+    # eval-only presets point at the training preset's results dir
+    owner = cfg.checkpoint_of or cfg.name
     ckpt_dir = (Path(checkpoint_dir) if checkpoint_dir
-                else Path(cfg.results_dir) / cfg.name / "checkpoints")
+                else Path(cfg.results_dir) / owner / "checkpoints")
     return ckpt.restore_checkpoint(ckpt_dir, template)
 
 

@@ -105,6 +105,9 @@ class OODConfig:
 @dataclass(frozen=True)
 class Config:
     name: str = "mnist_vae"
+    # Eval-only presets (iwae_eval, ood_suite) read checkpoints written by
+    # the training preset named here; None -> own results dir.
+    checkpoint_of: str | None = None
     model: ModelConfig = field(default_factory=ModelConfig)
     adversarial: AdversarialConfig = field(default_factory=AdversarialConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
@@ -157,13 +160,16 @@ def _iwae_eval() -> Config:
     """Config 4: IWAE-k evaluation pipeline, k=1000, bits/dim reporting."""
     cfg = _cifar_advprior_resnet()
     return dataclasses.replace(cfg, name="iwae_eval",
+                               checkpoint_of="cifar_advprior_resnet",
                                eval=EvalConfig(iwae_k=1_000, iwae_chunk=50))
 
 
 def _ood_suite() -> Config:
     """Config 5: sampling + OOD scoring (MNIST↔FashionMNIST, CIFAR↔SVHN)."""
     cfg = _cifar_advprior_resnet()
-    return dataclasses.replace(cfg, name="ood_suite", ood=OODConfig())
+    return dataclasses.replace(cfg, name="ood_suite",
+                               checkpoint_of="cifar_advprior_resnet",
+                               ood=OODConfig())
 
 
 PRESETS = {

@@ -138,6 +138,13 @@ def test_preset_capability_surface():
     assert (c5.ood.in_dataset, c5.ood.ood_dataset) == ("cifar10", "svhn")
 
 
+def test_eval_presets_point_at_training_checkpoints():
+    """iwae_eval/ood_suite must read the checkpoints config 3 writes."""
+    assert get_preset("iwae_eval").checkpoint_of == "cifar_advprior_resnet"
+    assert get_preset("ood_suite").checkpoint_of == "cifar_advprior_resnet"
+    assert get_preset("cifar_advprior_resnet").checkpoint_of is None
+
+
 def test_overrides():
     cfg = get_preset("mnist_vae")
     cfg = apply_overrides(cfg, ["train.lr=0.5", "model.widths=[4,8]",
