@@ -1,0 +1,80 @@
+"""Unit tests for the infrastructure utilities (logging, checkpoint,
+compcache) — SURVEY.md §5 observability/checkpoint rows."""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from apv_tpu.utils import checkpoint as ckpt
+from apv_tpu.utils.logging import MetricLogger
+
+
+def test_metric_logger_interval_and_throughput(tmp_path):
+    lg = MetricLogger(tmp_path, log_every=2, batch_size=64)
+    lg.log(0, {"loss": 1.0})
+    lg.log(1, {"loss": 0.9})          # skipped (1 % 2 != 0)
+    time.sleep(0.01)
+    lg.log(2, {"loss": jnp.float32(0.8)})
+    lines = [json.loads(l) for l in
+             (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert [l["step"] for l in lines] == [0, 2]
+    assert "images_per_sec_per_chip" in lines[1]
+    assert lines[1]["images_per_sec_per_chip"] > 0
+    assert isinstance(lines[1]["loss"], float)
+
+
+def test_metric_logger_log_now_unconditional(tmp_path):
+    lg = MetricLogger(tmp_path, log_every=1000)
+    lg.log_now(7, {"valid_elbo": -1.5})
+    line = json.loads((tmp_path / "metrics.jsonl").read_text())
+    assert line == {"step": 7, "valid_elbo": -1.5}
+
+
+def test_metric_logger_write_json(tmp_path):
+    lg = MetricLogger(tmp_path)
+    lg.write_json("eval.json", {"a": 1})
+    assert json.loads((tmp_path / "eval.json").read_text()) == {"a": 1}
+
+
+def test_checkpoint_roundtrip_pytree(tmp_path):
+    state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+             "step": jnp.asarray(5, jnp.int32),
+             "key": jax.random.PRNGKey(3)}
+    ckpt.save_checkpoint(tmp_path / "c", state, 5)
+    assert ckpt.latest_step(tmp_path / "c") == 5
+    restored = ckpt.restore_checkpoint(tmp_path / "c", state)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.asarray(state["params"]["w"]))
+    assert int(restored["step"]) == 5
+    np.testing.assert_array_equal(np.asarray(restored["key"]),
+                                  np.asarray(state["key"]))
+
+
+def test_checkpoint_keeps_limited_history(tmp_path):
+    state = {"x": jnp.zeros(2)}
+    for s in (1, 2, 3, 4, 5):
+        ckpt.save_checkpoint(tmp_path / "c", state, s)
+    assert ckpt.latest_step(tmp_path / "c") == 5
+    # max_to_keep=3: old steps pruned
+    kept = sorted(int(p.name) for p in (tmp_path / "c").iterdir()
+                  if p.name.isdigit())
+    assert kept == [3, 4, 5]
+
+
+def test_checkpoint_missing_raises(tmp_path):
+    assert ckpt.latest_step(tmp_path / "none") is None
+    with pytest.raises(FileNotFoundError):
+        ckpt.restore_checkpoint(tmp_path / "none2", {"x": jnp.zeros(1)})
+
+
+def test_compcache_no_op_off_tpu(monkeypatch, tmp_path):
+    """On CPU the default cache must stay disabled (machine-feature lock)."""
+    from apv_tpu.utils.compcache import enable_default_cache
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    before = jax.config.jax_compilation_cache_dir
+    enable_default_cache()
+    assert jax.config.jax_compilation_cache_dir == before
