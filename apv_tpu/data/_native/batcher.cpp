@@ -44,8 +44,10 @@ static inline uint64_t splitmix64(uint64_t& s) {
 }
 
 // Static Bernoulli binarization: dst[i] = 1.0f iff u < src[i]/255.
-// Deterministic in (seed); matches the *semantics* (not the stream) of the
-// numpy fallback — both are fixed once per run ("static", SURVEY.md §2.1).
+// BIT-EXACT CONTRACT: preprocess._splitmix64_uniform is the same generator
+// stream, and tests/test_native.py::test_binarize_native_numpy_identical
+// asserts exact equality — any change to the mixer, the 24-bit draw, or
+// the comparison breaks dataset determinism across the native/numpy split.
 void apv_binarize_u8(const uint8_t* src, int64_t n, uint64_t seed,
                      float* dst) {
   uint64_t state = seed ^ 0xD1B54A32D192ED03ULL;

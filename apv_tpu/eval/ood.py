@@ -36,7 +36,7 @@ def _per_sample(cfg: Config, params, d_params, dataset, *, use_adv, k, mesh,
                         k=k, chunk=min(cfg.ood.iwae_chunk, k),
                         max_examples=cfg.ood.max_examples,
                         use_adversarial_prior=use_adv, per_sample=True,
-                        seed=seed)["per_sample"]
+                        seed=seed, batch_size=cfg.ood.batch_size)["per_sample"]
 
 
 def ood_scores(cfg: Config, params, d_params=None, *, mesh=None,

@@ -49,7 +49,8 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
                  dataset: str | None = None, k: int | None = None,
                  chunk: int | None = None, max_examples: int | None = None,
                  use_adversarial_prior: bool | None = None,
-                 per_sample: bool = False, seed: int = 0):
+                 per_sample: bool = False, seed: int = 0,
+                 batch_size: int | None = None):
     """Mean test NLL (nats) + bits/dim; optionally per-sample scores (OOD).
 
     ``use_adversarial_prior`` defaults to the config's adversarial.enabled:
@@ -92,7 +93,8 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
 
     arrays = eval_arrays(cfg, dataset,
                          max_examples or cfg.eval.max_examples)
-    batcher = Batcher(arrays, min(cfg.eval.batch_size, len(arrays["image"])),
+    batch_size = batch_size if batch_size is not None else cfg.eval.batch_size
+    batcher = Batcher(arrays, min(batch_size, len(arrays["image"])),
                       shuffle=False)
     shard = data_sharding(mesh)
     rep = replicated(mesh)

@@ -35,6 +35,14 @@ DATA_AXIS = "data"
 K_AXIS = "k"
 
 
+def _mark_varying(x, axis_names):
+    """pvary replacement: jax >= 0.9 spells it pcast(..., to='varying');
+    keep the pvary fallback for older jax."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, axis_names, to="varying")
+    return jax.lax.pvary(x, axis_names)   # pragma: no cover
+
+
 def make_mesh_2d(n_data: int, n_k: int, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if len(devices) < n_data * n_k:
@@ -100,7 +108,7 @@ def make_sharded_iwae_fn(model, likelihood: str, k: int, chunk: int,
         # shard_map's varying-axis typing: the carry must be marked varying
         # over the mesh axes since the body's outputs are.
         init = jax.tree.map(
-            lambda a: jax.lax.pvary(a, tuple(mesh.axis_names)), init)
+            lambda a: _mark_varying(a, tuple(mesh.axis_names)), init)
         state, _ = jax.lax.scan(body, init, jnp.arange(n_chunks_local))
         # Cross-chip merge over the k axis: associative logsumexp fold.
         gmax = jax.lax.pmax(state.max, K_AXIS)

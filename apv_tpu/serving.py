@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax import export as jax_export
 
+from apv_tpu.data.preprocess import normalize_center
 from apv_tpu.models import LatentDiscriminator, build_model
 from apv_tpu.sampling.run import sample_prior
 from apv_tpu.training.losses import (decoder_output_to_likelihood_params,
@@ -61,8 +62,16 @@ def _scorer_fn(cfg: Config, params):
         return model.apply({"params": p}, z, method="decode")
 
     def fn(x: jax.Array, seed: jax.Array) -> jax.Array:
-        """images [B,H,W,C] in [0,1] -> per-sample ELBO [B] (nats)."""
-        recon, kl, _ = elbo_terms(encode, decode, params, x, x,
+        """images [B,H,W,C] in [0,1] -> per-sample ELBO [B] (nats).
+
+        Input convention mirrors eval (eval/run.py::_prep_eval_batch):
+        binarized configs feed x straight through; continuous (CIFAR)
+        configs center the encoder input to [-1,1] while the likelihood
+        scores the raw [0,1] levels — the training/eval distribution the
+        encoder was fit on.
+        """
+        x_in = x if cfg.data.binarize else normalize_center(x)
+        recon, kl, _ = elbo_terms(encode, decode, params, x_in, x,
                                   jax.random.PRNGKey(seed),
                                   cfg.model.likelihood)
         return recon - kl

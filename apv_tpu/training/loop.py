@@ -9,6 +9,7 @@ every ``log_every`` steps.
 
 from __future__ import annotations
 
+import dataclasses
 from pathlib import Path
 
 import jax
@@ -86,7 +87,7 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
     logger = MetricLogger(results_dir, log_every=cfg.train.log_every,
                           batch_size=cfg.train.batch_size,
                           trace_dir=trace_dir)
-    logger.write_json("config.json", cfg.to_json())
+    logger.write_json("config.json", dataclasses.asdict(cfg))
 
     def run_validation(state, step):
         sums: dict[str, float] = {}

@@ -200,12 +200,23 @@ def make_train_fns(cfg: Config) -> TrainFns:
         beta = _beta(cfg, state.step)
 
         metrics = {}
+
+        def run_d_phases(state, z_q=None):
+            # n_critic D updates; metrics are the MEAN over critic steps
+            # (n_critic=0 is a valid knob: skip D entirely, report nothing).
+            d_ms = []
+            for i in range(cfg.adversarial.n_critic):
+                state, dm = d_phase(state, x_in, k_ds[i], z_q=z_q)
+                d_ms.append(dm)
+            if d_ms:
+                metrics.update({k: jnp.mean(jnp.stack([m[k] for m in d_ms]))
+                                for k in d_ms[0]})
+            return state
+
         if adv and not cfg.adversarial.d_reuse_posterior:
             # Reference order (SURVEY.md §3.2): D step(s), then G step,
             # with the D phase encoding its own posterior samples.
-            for i in range(cfg.adversarial.n_critic):
-                state, d_metrics = d_phase(state, x_in, k_ds[i])
-            metrics.update(d_metrics)
+            state = run_d_phases(state)
         state, g_metrics, z_q = g_phase(state, x_in, x_target, k_g, beta)
         metrics.update(g_metrics)
         if adv and cfg.adversarial.d_reuse_posterior:
@@ -213,9 +224,7 @@ def make_train_fns(cfg: Config) -> TrainFns:
             # (z_q drawn under pre-update params, exactly what a D-first
             # step would have seen) — saves one full encoder forward per
             # step. Fresh prior samples per critic step either way.
-            for i in range(cfg.adversarial.n_critic):
-                state, d_metrics = d_phase(state, x_in, k_ds[i], z_q=z_q)
-            metrics.update(d_metrics)
+            state = run_d_phases(state, z_q=z_q)
         metrics["beta"] = beta
         state = state.replace(step=state.step + 1)
         return state, metrics

@@ -127,3 +127,22 @@ def test_n_critic_multiple():
     batch = _synthetic_batch(cfg, cfg.train.batch_size)
     _, hist = _run_steps(cfg, 3, batch)
     assert np.isfinite(hist[-1]["d_loss"])
+
+
+def test_n_critic_sweep_both_orderings():
+    """Every (n_critic, d_reuse_posterior) combination must train cleanly;
+    n_critic=0 skips the D phase (regression: NameError at trace in the
+    D-first branch), and d_metrics are the mean over critic steps."""
+    for n_critic in (0, 1, 3):
+        for reuse in (True, False):
+            cfg = tiny_config("mnist_advprior", **{
+                "adversarial.n_critic": n_critic,
+                "adversarial.d_reuse_posterior": reuse})
+            batch = _synthetic_batch(cfg, cfg.train.batch_size)
+            state, hist = _run_steps(cfg, 5, batch)
+            assert np.isfinite(hist[-1]["loss"]), (n_critic, reuse)
+            if n_critic == 0:
+                assert "d_loss" not in hist[-1], (n_critic, reuse)
+            else:
+                assert np.isfinite(hist[-1]["d_loss"]), (n_critic, reuse)
+                assert 0.0 <= hist[-1]["d_acc"] <= 1.0
