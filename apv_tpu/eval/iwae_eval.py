@@ -20,9 +20,20 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
+from apv_tpu import ops
 from apv_tpu.core import distributions as D
 from apv_tpu.core.iwae import iwae_log_likelihood
 from apv_tpu.training.losses import recon_log_likelihood
+
+
+def sample_posterior_chunk(chunk_key, mean, logvar, chunk: int):
+    """Draw [chunk, B, Z] posterior samples through the ops dispatch —
+    the Pallas HW-PRNG reparam kernel on TPU, threefry on CPU (where the
+    broadcasted shapes make the stream identical to the old
+    ``gaussian_sample(sample_shape=(chunk,))`` call)."""
+    mean_k = jnp.broadcast_to(mean[None], (chunk,) + mean.shape)
+    logvar_k = jnp.broadcast_to(logvar[None], (chunk,) + logvar.shape)
+    return ops.reparam_sample(chunk_key, mean_k, logvar_k)
 
 
 def make_iwae_fn(model, likelihood: str, k: int, chunk: int,
@@ -45,8 +56,7 @@ def make_iwae_fn(model, likelihood: str, k: int, chunk: int,
         b = mean.shape[0]
 
         def logw_fn(chunk_key):
-            z = D.gaussian_sample(chunk_key, mean, logvar,
-                                  sample_shape=(chunk,))   # [chunk, B, Z]
+            z = sample_posterior_chunk(chunk_key, mean, logvar, chunk)
             zf = z.reshape(chunk * b, -1)
             out = decode(params, zf)
             xt = jnp.broadcast_to(x_target[None], (chunk,) + x_target.shape)

@@ -13,7 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from apv_tpu.core.metrics import nats_to_bits_per_dim
-from apv_tpu.data import Batcher, load_dataset, static_binarize
+from apv_tpu.data import (Batcher, load_dataset, prefetch_to_device,
+                          static_binarize)
 from apv_tpu.data.preprocess import normalize_center, to_unit_interval
 from apv_tpu.eval.iwae_eval import estimate_log_partition, make_iwae_fn
 from apv_tpu.models import LatentDiscriminator, build_model
@@ -38,11 +39,17 @@ def eval_arrays(cfg: Config, dataset: str | None = None,
 
 
 def _prep_eval_batch(cfg: Config, image):
+    """Host-side (numpy) eval preprocessing — (x_in, x_target).
+
+    Stays numpy so the batch loop can prefetch host→HBM: binarized configs
+    feed x straight through; continuous configs center the encoder input
+    to [-1,1] while the likelihood scores the raw [0,1] bin centers."""
     if cfg.data.binarize:
-        x = image.astype(jnp.float32)
+        x = np.asarray(image, np.float32)
         return x, x
-    levels = to_unit_interval(image) if image.dtype == np.uint8 else image
-    return normalize_center(jnp.asarray(levels)), jnp.asarray(levels)
+    levels = (to_unit_interval(image) if image.dtype == np.uint8
+              else np.asarray(image, np.float32))
+    return normalize_center(levels), levels
 
 
 def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
@@ -102,13 +109,18 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
     if d_params is not None:
         d_params = jax.device_put(d_params, rep)
 
+    def prepped():
+        # Host-side prep feeding the device prefetch queue: the gather +
+        # preprocessing + PCIe transfer of batch t+2 overlaps the k-scan
+        # of batch t (same double-buffering as the train loop).
+        for batch in batcher.epoch():
+            x_in, x_target = _prep_eval_batch(cfg, batch["image"])
+            yield {"x_in": x_in, "x_target": x_target}
+
     scores = []
     with mesh:
-        for i, batch in enumerate(batcher.epoch()):
-            x_in, x_target = _prep_eval_batch(cfg, batch["image"])
-            x_in = jax.device_put(x_in, shard)
-            x_target = jax.device_put(x_target, shard)
-            ll = jit_iwae(params, d_params, x_in, x_target,
+        for i, b in enumerate(prefetch_to_device(prepped(), shard)):
+            ll = jit_iwae(params, d_params, b["x_in"], b["x_target"],
                           jax.random.PRNGKey(seed + i), log_z)
             scores.append(np.asarray(ll))
     scores = np.concatenate(scores)

@@ -74,7 +74,8 @@ def make_sharded_iwae_fn(model, likelihood: str, k: int, chunk: int,
     def local_logw_chunk(params, d_params, mean, logvar, x_target, key,
                          log_z):
         b = mean.shape[0]
-        z = D.gaussian_sample(key, mean, logvar, sample_shape=(chunk,))
+        from apv_tpu.eval.iwae_eval import sample_posterior_chunk
+        z = sample_posterior_chunk(key, mean, logvar, chunk)
         zf = z.reshape(chunk * b, -1)
         out = decode(params, zf)
         xt = jnp.broadcast_to(x_target[None], (chunk,) + x_target.shape)
