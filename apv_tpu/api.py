@@ -107,18 +107,53 @@ def export_artifact(config: str | Config = "mnist_vae", *,
     raise ValueError(f"unknown artifact {what!r} (sampler|scorer)")
 
 
+def _load_named_model(cfg: Config, name: str):
+    """(cfg_b, params_b, d_params_b) for a results-dir name: architecture
+    from its saved config.json (falls back to the preset registry), params
+    from its checkpoint."""
+    import json
+
+    from apv_tpu.utils.config import config_from_dict, get_preset
+
+    cfg_path = Path(cfg.results_dir) / name / "config.json"
+    if cfg_path.exists():
+        d = json.loads(cfg_path.read_text())
+        if isinstance(d, str):          # legacy double-encoded config.json
+            d = json.loads(d)
+        cfg_b = config_from_dict(d)
+    else:
+        cfg_b = get_preset(name)
+    state_b = _restore_state(cfg_b)
+    d_params_b = state_b.d_params if cfg_b.adversarial.enabled else None
+    return cfg_b, state_b.params, d_params_b
+
+
 def ood_score(config: str | Config = "ood_suite", *,
               overrides: list[str] | None = None,
-              checkpoint_dir: str | None = None, seed: int = 0) -> dict:
-    """Run the OOD scoring suite for the configured dataset pair."""
-    from apv_tpu.eval.ood import ood_scores
+              checkpoint_dir: str | None = None, seed: int = 0,
+              both: bool = False) -> dict:
+    """Run the OOD scoring suite for the configured dataset pair.
+
+    ``both=True`` also scores the reversed pair direction (with the
+    ``ood.reverse_of`` checkpoint when set). ``ood.score='model_ratio'``
+    loads the ``ood.baseline_of`` checkpoint as the denominator model.
+    """
+    from apv_tpu.eval.ood import ood_both, ood_scores
     from apv_tpu.utils.logging import MetricLogger
 
     cfg = _resolve(config, overrides)
     state = _restore_state(cfg, checkpoint_dir)
-    result = ood_scores(cfg, state.params,
-                        state.d_params if cfg.adversarial.enabled else None,
-                        seed=seed)
+    d_params = state.d_params if cfg.adversarial.enabled else None
+    baseline = (None if cfg.ood.baseline_of is None
+                else _load_named_model(cfg, cfg.ood.baseline_of))
+    if both:
+        reverse = (None if cfg.ood.reverse_of is None
+                   else _load_named_model(cfg, cfg.ood.reverse_of))
+        result = ood_both(cfg, state.params, d_params, seed=seed,
+                          baseline=baseline, reverse=reverse)
+    else:
+        result = ood_scores(cfg, state.params, d_params, seed=seed,
+                            baseline=baseline)
     MetricLogger(Path(cfg.results_dir) / cfg.name).write_json(
         "ood.json", result)
     return result

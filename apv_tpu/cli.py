@@ -50,6 +50,9 @@ def main(argv: list[str] | None = None) -> int:
     p_ood = sub.add_parser("ood", help="OOD scoring suite")
     _add_common(p_ood, "ood_suite")
     p_ood.add_argument("--seed", type=int, default=0)
+    p_ood.add_argument("--both", action="store_true",
+                       help="also score the reversed dataset-pair direction "
+                            "(uses ood.reverse_of checkpoint when set)")
 
     p_exp = sub.add_parser("export",
                            help="AOT-export a serving artifact (StableHLO)")
@@ -84,7 +87,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.command == "ood":
         result = api.ood_score(args.preset, overrides=args.overrides,
                                checkpoint_dir=args.checkpoint_dir,
-                               seed=args.seed)
+                               seed=args.seed, both=args.both)
         print(json.dumps(result, indent=2))
     elif args.command == "export":
         path = api.export_artifact(args.preset, overrides=args.overrides,

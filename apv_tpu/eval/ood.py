@@ -2,7 +2,7 @@
 
 Per-sample scores on an in-distribution test set vs an OOD test set, AUROC
 in both labelings. Score definitions (``cfg.ood.score`` — the reference's
-exact ratio is [I]-level, SURVEY.md §3.5, so all three ship):
+exact ratio is [I]-level, SURVEY.md §3.5, so all plausible readings ship):
 
 * ``iwae``: per-sample IWAE-k̃ log-likelihood under the model's prior.
 * ``elbo``: single-sample ELBO (k=1) — cheap screen.
@@ -12,9 +12,21 @@ exact ratio is [I]-level, SURVEY.md §3.5, so all three ship):
   unaffected; we still subtract the MC estimate for interpretability).
   This is the likelihood-*ratio* score that fixes the famous
   raw-likelihood OOD inversion (SURVEY.md §6).
+* ``model_ratio``: log p_A(x) - log p_B(x) under two *checkpoints* — the
+  other plausible reading of the reference's "likelihood ratios"
+  (SURVEY.md §3.5 "exact ratio construction: VERIFY [I]"): typically A =
+  adversarial-prior model, B = plain-prior baseline (``ood.baseline_of``).
+  Both models score the SAME examples (data/eval settings are forced to
+  the primary config's).
+
+``ood_both`` runs both pair directions (MNIST↔FashionMNIST etc.) in one
+invocation, optionally with a second checkpoint trained on the other
+dataset for the reversed direction.
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import numpy as np
 from sklearn.metrics import roc_auc_score
@@ -39,11 +51,21 @@ def _per_sample(cfg: Config, params, d_params, dataset, *, use_adv, k, mesh,
                         seed=seed, batch_size=cfg.ood.batch_size)["per_sample"]
 
 
+def _align_to(primary: Config, other: Config) -> Config:
+    """Baseline/reverse models must score the SAME examples as the primary:
+    take the other model's architecture/adversarial sections, the primary's
+    data/eval/ood/train sections (train carries the test-binarization seed)."""
+    return dataclasses.replace(other, data=primary.data, eval=primary.eval,
+                               ood=primary.ood, train=primary.train)
+
+
 def ood_scores(cfg: Config, params, d_params=None, *, mesh=None,
-               seed: int = 0) -> dict:
+               seed: int = 0, baseline=None) -> dict:
     """Run the suite for (cfg.ood.in_dataset, cfg.ood.ood_dataset).
 
-    Returns per-direction AUROCs and summary stats.
+    ``baseline`` is ``(cfg_b, params_b, d_params_b)`` — required for
+    ``score='model_ratio'`` (the denominator model). Returns per-direction
+    AUROCs and summary stats.
     """
     score = cfg.ood.score
     k = cfg.ood.iwae_k if score != "elbo" else 1
@@ -58,6 +80,19 @@ def ood_scores(cfg: Config, params, d_params=None, *, mesh=None,
             base = _per_sample(cfg, params, d_params, name, use_adv=False,
                                k=k, mesh=mesh, seed=seed)
             return adv - base
+        if score == "model_ratio":
+            if baseline is None:
+                raise ValueError("model_ratio score needs a baseline model "
+                                 "(ood.baseline_of)")
+            cfg_b, params_b, d_params_b = baseline
+            cfg_b = _align_to(cfg, cfg_b)
+            a = _per_sample(cfg, params, d_params, name,
+                            use_adv=cfg.adversarial.enabled, k=k, mesh=mesh,
+                            seed=seed)
+            b = _per_sample(cfg_b, params_b, d_params_b, name,
+                            use_adv=cfg_b.adversarial.enabled, k=k,
+                            mesh=mesh, seed=seed)
+            return a - b
         return _per_sample(cfg, params, d_params, name,
                            use_adv=cfg.adversarial.enabled, k=k, mesh=mesh,
                            seed=seed)
@@ -73,3 +108,29 @@ def ood_scores(cfg: Config, params, d_params=None, *, mesh=None,
         "in_mean": float(in_s.mean()), "ood_mean": float(ood_s.mean()),
         "n_in": int(in_s.shape[0]), "n_ood": int(ood_s.shape[0]),
     }
+
+
+def ood_both(cfg: Config, params, d_params=None, *, mesh=None,
+             seed: int = 0, baseline=None, reverse=None) -> dict:
+    """Both pair directions in one invocation (config 5's "↔").
+
+    Forward: (in_dataset vs ood_dataset) with this checkpoint. Reverse:
+    datasets swapped, scored by ``reverse`` = ``(cfg_r, params_r,
+    d_params_r)`` — a model trained on ood_dataset — or by this same
+    checkpoint when no reverse model is given.
+    """
+    fwd = ood_scores(cfg, params, d_params, mesh=mesh, seed=seed,
+                     baseline=baseline)
+    swapped_ood = dataclasses.replace(
+        cfg.ood, in_dataset=cfg.ood.ood_dataset,
+        ood_dataset=cfg.ood.in_dataset)
+    if reverse is not None:
+        cfg_r, params_r, d_params_r = reverse
+        cfg_r = dataclasses.replace(_align_to(cfg, cfg_r), ood=swapped_ood)
+        rev = ood_scores(cfg_r, params_r, d_params_r, mesh=mesh, seed=seed,
+                         baseline=baseline)
+    else:
+        rev = ood_scores(dataclasses.replace(cfg, ood=swapped_ood), params,
+                         d_params, mesh=mesh, seed=seed, baseline=baseline)
+    return {"forward": fwd, "reverse": rev,
+            "reverse_model": "own" if reverse is not None else "shared"}

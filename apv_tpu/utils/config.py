@@ -93,13 +93,22 @@ class OODConfig:
     # 'iwae': per-sample IWAE-k̃ log-likelihood;
     # 'elbo': single-sample ELBO;
     # 'prior_ratio': log p*(x)-style ratio using the adversarial prior's
-    #   density-ratio correction vs the base N(0,I) prior — the
-    #   likelihood-*ratio* score motivating config 5 (SURVEY.md §3.5, [I]).
+    #   density-ratio correction vs the base N(0,I) prior — one reading of
+    #   the likelihood-*ratio* score motivating config 5 (SURVEY.md §3.5, [I]);
+    # 'model_ratio': the other reading — per-sample score under TWO models
+    #   (this checkpoint vs the ``baseline_of`` checkpoint, e.g.
+    #   adversarial-prior vs plain-prior).
     score: str = "prior_ratio"
     iwae_k: int = 100
     iwae_chunk: int = 50
     batch_size: int = 64
     max_examples: int | None = 2_000
+    # results-dir name (its config.json defines the architecture) of the
+    # denominator model for score='model_ratio'.
+    baseline_of: str | None = None
+    # results-dir name of a model trained on ood_dataset; ``--both`` scores
+    # the reversed pair direction with it (falls back to this checkpoint).
+    reverse_of: str | None = None
 
 
 @dataclass(frozen=True)
@@ -118,6 +127,31 @@ class Config:
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+
+def config_from_dict(d: dict) -> Config:
+    """Rebuild a Config from ``dataclasses.asdict`` output (results-dir
+    config.json): nested sections become their dataclasses, JSON lists
+    become the tuples the fields declare. Unknown keys are ignored so old
+    configs keep loading across field additions."""
+    nested = {"model": ModelConfig, "adversarial": AdversarialConfig,
+              "train": TrainConfig, "data": DataConfig, "eval": EvalConfig,
+              "ood": OODConfig}
+
+    def build(cls, sub: dict):
+        names = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: tuple(v) if isinstance(v, list) else v
+              for k, v in sub.items() if k in names}
+        return cls(**kw)
+
+    top = {f.name for f in dataclasses.fields(Config)}
+    kw = {}
+    for k, v in d.items():
+        if k in nested:
+            kw[k] = build(nested[k], v)
+        elif k in top:
+            kw[k] = v
+    return Config(**kw)
 
 
 # ---------------------------------------------------------------------------

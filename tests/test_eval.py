@@ -101,6 +101,64 @@ def test_ood_elbo_score_no_discriminator():
     assert 0.0 <= res["auroc_in_vs_ood"] <= 1.0
 
 
+def test_ood_model_ratio_two_checkpoints():
+    """model_ratio: score under two models; with model B == model A the
+    ratio is identically 0 (same examples, same key schedule), and with a
+    different model B it isn't — proving both models see the same data."""
+    from apv_tpu.eval.ood import ood_both
+
+    cfg = tiny_config("mnist_advprior", **{
+        "ood.in_dataset": "mnist", "ood.ood_dataset": "fashion_mnist",
+        "ood.score": "model_ratio", "ood.iwae_k": 4, "ood.iwae_chunk": 2})
+    state = _init_state(cfg)
+    cfg_b = tiny_config("mnist_vae")
+    state_b = _init_state(cfg_b)
+
+    # B == A -> per-sample ratio exactly 0 -> AUROC degenerates to 0.5
+    same = ood_scores(cfg, state.params, state.d_params,
+                      baseline=(cfg, state.params, state.d_params))
+    np.testing.assert_allclose(same["in_mean"], 0.0, atol=1e-6)
+    np.testing.assert_allclose(same["ood_mean"], 0.0, atol=1e-6)
+
+    res = ood_scores(cfg, state.params, state.d_params,
+                     baseline=(cfg_b, state_b.params, None))
+    assert res["score"] == "model_ratio"
+    assert abs(res["in_mean"]) > 1e-3 or abs(res["ood_mean"]) > 1e-3
+    assert 0.0 <= res["auroc_in_vs_ood"] <= 1.0
+
+    # missing baseline is a hard error
+    import pytest
+    with pytest.raises(ValueError, match="baseline"):
+        ood_scores(cfg, state.params, state.d_params)
+
+    # --both: forward + reversed pair direction in one invocation
+    both = ood_both(cfg, state.params, state.d_params,
+                    baseline=(cfg_b, state_b.params, None))
+    assert both["forward"]["in_dataset"] == "mnist"
+    assert both["reverse"]["in_dataset"] == "fashion_mnist"
+    assert both["reverse"]["ood_dataset"] == "mnist"
+    # same pair scored from both sides: reverse-of-forward symmetry on
+    # the shared-model path means in/ood score arrays swap roles
+    np.testing.assert_allclose(both["forward"]["in_mean"],
+                               both["reverse"]["ood_mean"], rtol=1e-6)
+
+
+def test_ood_both_with_reverse_model():
+    from apv_tpu.eval.ood import ood_both
+
+    cfg = tiny_config("mnist_advprior", **{
+        "ood.in_dataset": "mnist", "ood.ood_dataset": "fashion_mnist",
+        "ood.score": "elbo"})
+    state = _init_state(cfg)
+    cfg_r = tiny_config("mnist_vae")
+    state_r = _init_state(cfg_r)
+    both = ood_both(cfg, state.params, state.d_params,
+                    reverse=(cfg_r, state_r.params, None))
+    assert both["reverse_model"] == "own"
+    assert both["reverse"]["in_dataset"] == "fashion_mnist"
+    assert 0.0 <= both["reverse"]["auroc_in_vs_ood"] <= 1.0
+
+
 def test_sampling_and_grid(tmp_path):
     from apv_tpu.sampling import generate_samples, save_image_grid
     cfg = tiny_config("mnist_vae")

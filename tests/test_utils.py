@@ -78,3 +78,22 @@ def test_compcache_no_op_off_tpu(monkeypatch, tmp_path):
     before = jax.config.jax_compilation_cache_dir
     enable_default_cache()
     assert jax.config.jax_compilation_cache_dir == before
+
+
+def test_config_from_dict_roundtrip():
+    import dataclasses
+    import json
+
+    from apv_tpu.utils.config import config_from_dict, get_preset
+
+    cfg = get_preset("cifar_advprior_resnet")
+    d = json.loads(cfg.to_json())
+    cfg2 = config_from_dict(d)
+    assert cfg2 == cfg
+    # unknown keys (configs written by future versions) are ignored
+    d["ood"]["not_a_field"] = 1
+    d["also_not_a_field"] = "x"
+    assert config_from_dict(d) == cfg
+    # tuples survive the JSON list round-trip
+    assert isinstance(cfg2.model.widths, tuple)
+    assert cfg2.model.image_shape == (32, 32, 3)
