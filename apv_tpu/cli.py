@@ -33,6 +33,10 @@ def main(argv: list[str] | None = None) -> int:
     p_train.add_argument("--max-steps", type=int, default=None)
     p_train.add_argument("--trace-dir", default=None,
                          help="enable jax.profiler traces into this dir")
+    p_train.add_argument("--distributed", action="store_true",
+                         help="multi-host: jax.distributed.initialize from "
+                              "APV_COORDINATOR / APV_NUM_PROCESSES / "
+                              "APV_PROCESS_ID (one process per host)")
 
     p_eval = sub.add_parser("evaluate", help="IWAE-k NLL + bits/dim")
     _add_common(p_eval, "iwae_eval")
@@ -62,6 +66,11 @@ def main(argv: list[str] | None = None) -> int:
     p_exp.add_argument("--out", default=None)
 
     args = parser.parse_args(argv)
+    if getattr(args, "distributed", False):
+        # must precede any backend init (incl. the compile-cache probe)
+        from apv_tpu.parallel.multihost import initialize_from_env
+        if not initialize_from_env():
+            raise SystemExit("--distributed set but APV_COORDINATOR unset")
     from apv_tpu.utils.compcache import enable_default_cache
     enable_default_cache()
     if getattr(args, "debug_nans", False):

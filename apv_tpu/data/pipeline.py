@@ -25,7 +25,8 @@ class Batcher:
     """
 
     def __init__(self, arrays: dict[str, np.ndarray], batch_size: int, *,
-                 shuffle: bool = True, seed: int = 0, drop_remainder: bool = True):
+                 shuffle: bool = True, seed: int = 0, drop_remainder: bool = True,
+                 host_shard: tuple[int, int] | None = None):
         sizes = {k: len(v) for k, v in arrays.items()}
         if len(set(sizes.values())) != 1:
             raise ValueError(f"array length mismatch: {sizes}")
@@ -37,6 +38,19 @@ class Batcher:
         self.shuffle = shuffle
         self.drop_remainder = drop_remainder
         self._rng = np.random.default_rng(seed)
+        # Multi-host: (process_id, process_count). ``batch_size`` stays the
+        # GLOBAL batch; every host draws the same permutation (same seed)
+        # and keeps only its contiguous row range of each batch, so the
+        # concatenation over hosts is exactly the single-host batch
+        # (multihost.put_batch assembles the global array from these rows).
+        if host_shard is not None:
+            pid, pcount = host_shard
+            if batch_size % pcount != 0:
+                raise ValueError(f"global batch {batch_size} not divisible "
+                                 f"by {pcount} hosts")
+            if not 0 <= pid < pcount:
+                raise ValueError(f"bad host_shard {host_shard}")
+        self.host_shard = host_shard
 
     @property
     def batches_per_epoch(self) -> int:
@@ -56,6 +70,10 @@ class Batcher:
         # win is the one-pass binarization (preprocess.static_binarize).
         for start in range(0, stop, self.batch_size):
             sel = idx[start:start + self.batch_size]
+            if self.host_shard is not None:
+                pid, pcount = self.host_shard
+                per = len(sel) // pcount
+                sel = sel[pid * per:(pid + 1) * per]
             yield {k: v[sel] for k, v in self.arrays.items()}
 
     def __iter__(self):
@@ -100,7 +118,11 @@ def prefetch_to_device(it: Iterable[dict[str, np.ndarray]],
     def put(batch):
         if sharding is None:
             return jax.device_put(batch)
-        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        # multihost.put_batch == per-leaf device_put in a single process;
+        # under jax.distributed it assembles the global array from this
+        # host's rows instead.
+        from apv_tpu.parallel.multihost import put_batch
+        return put_batch(batch, sharding)
 
     queue: collections.deque = collections.deque()
     it = iter(it)

@@ -13,6 +13,8 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from apv_tpu.models.common import get_activation
+
 
 def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     b, h, w, c = x.shape
@@ -25,17 +27,19 @@ class ConvEncoder(nn.Module):
     widths: Sequence[int] = (32, 64)
     dense: int = 512
     dtype: jnp.dtype = jnp.bfloat16
+    activation: str = "gelu"
 
     @nn.compact
     def __call__(self, x):
+        act = get_activation(self.activation)
         h = x.astype(self.dtype)
         for w in self.widths:
             h = nn.Conv(w, (3, 3), strides=(2, 2), dtype=self.dtype)(h)
-            h = nn.gelu(h)
+            h = act(h)
             h = nn.Conv(w, (3, 3), dtype=self.dtype)(h)
-            h = nn.gelu(h)
+            h = act(h)
         h = h.reshape(h.shape[0], -1)
-        h = nn.gelu(nn.Dense(self.dense, dtype=self.dtype)(h))
+        h = act(nn.Dense(self.dense, dtype=self.dtype)(h))
         # Distribution heads in float32 (accuracy-critical).
         out = nn.Dense(2 * self.z_dim, dtype=jnp.float32,
                        name="gaussian_head")(h.astype(jnp.float32))
@@ -51,18 +55,20 @@ class ConvDecoder(nn.Module):
     dense: int = 512
     out_params: int = 1                # Bernoulli: 1 logit per pixel channel
     dtype: jnp.dtype = jnp.bfloat16
+    activation: str = "gelu"
 
     @nn.compact
     def __call__(self, z):
+        act = get_activation(self.activation)
         hh, ww, c = self.image_shape
         h0, w0 = hh // 4, ww // 4
-        h = nn.gelu(nn.Dense(self.dense, dtype=self.dtype)(z.astype(self.dtype)))
-        h = nn.gelu(nn.Dense(h0 * w0 * self.widths[0], dtype=self.dtype)(h))
+        h = act(nn.Dense(self.dense, dtype=self.dtype)(z.astype(self.dtype)))
+        h = act(nn.Dense(h0 * w0 * self.widths[0], dtype=self.dtype)(h))
         h = h.reshape(-1, h0, w0, self.widths[0])
         for w in self.widths:
             h = _upsample2x(h)
-            h = nn.gelu(nn.Conv(w, (3, 3), dtype=self.dtype)(h))
-            h = nn.gelu(nn.Conv(w, (3, 3), dtype=self.dtype)(h))
+            h = act(nn.Conv(w, (3, 3), dtype=self.dtype)(h))
+            h = act(nn.Conv(w, (3, 3), dtype=self.dtype)(h))
         out = nn.Conv(c * self.out_params, (3, 3), dtype=jnp.float32,
                       name="likelihood_head")(h.astype(jnp.float32))
         return out                      # [B, H, W, C*out_params]
@@ -76,14 +82,16 @@ class ConvVAE(nn.Module):
     image_shape: tuple[int, int, int] = (28, 28, 1)
     dtype: jnp.dtype = jnp.bfloat16
     likelihood: str = "bernoulli"
+    activation: str = "gelu"
 
     def setup(self):
         self.encoder = ConvEncoder(self.z_dim, self.widths, self.dense,
-                                   self.dtype)
+                                   self.dtype, self.activation)
         out_params = 1 if self.likelihood == "bernoulli" else 2
         self.decoder = ConvDecoder(self.image_shape,
                                    tuple(reversed(self.widths)), self.dense,
-                                   out_params, self.dtype)
+                                   out_params, self.dtype,
+                                   activation=self.activation)
 
     def encode(self, x):
         return self.encoder(x)

@@ -14,11 +14,13 @@ def build_model(model_cfg) -> nn.Module:
         return ConvVAE(z_dim=model_cfg.z_dim, widths=tuple(model_cfg.widths),
                        dense=model_cfg.dense,
                        image_shape=tuple(model_cfg.image_shape),
-                       likelihood=model_cfg.likelihood)
+                       likelihood=model_cfg.likelihood,
+                       activation=getattr(model_cfg, "activation", "gelu"))
     if model_cfg.family == "resnet":
         return ResNetVAE(z_dim=model_cfg.z_dim, widths=tuple(model_cfg.widths),
                          blocks_per_stage=model_cfg.blocks_per_stage,
                          image_shape=tuple(model_cfg.image_shape),
                          likelihood=model_cfg.likelihood,
-                         upsample=getattr(model_cfg, "upsample", "nearest"))
+                         upsample=getattr(model_cfg, "upsample", "nearest"),
+                         activation=getattr(model_cfg, "activation", "gelu"))
     raise ValueError(f"unknown model family {model_cfg.family!r}")

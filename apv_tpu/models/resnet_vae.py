@@ -14,6 +14,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from apv_tpu.models.common import get_activation
 from apv_tpu.models.conv_vae import _upsample2x
 
 
@@ -21,14 +22,16 @@ class ResBlock(nn.Module):
     width: int
     dtype: jnp.dtype = jnp.bfloat16
     groups: int = 8
+    activation: str = "gelu"
 
     @nn.compact
     def __call__(self, x):
+        act = get_activation(self.activation)
         h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(x)
-        h = nn.gelu(h)
+        h = act(h)
         h = nn.Conv(self.width, (3, 3), dtype=self.dtype)(h)
         h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(h)
-        h = nn.gelu(h)
+        h = act(h)
         h = nn.Conv(self.width, (3, 3), dtype=self.dtype)(h)
         if x.shape[-1] != self.width:
             x = nn.Conv(self.width, (1, 1), dtype=self.dtype)(x)
@@ -40,18 +43,19 @@ class ResNetEncoder(nn.Module):
     widths: Sequence[int] = (64, 128, 256)
     blocks_per_stage: int = 2
     dtype: jnp.dtype = jnp.bfloat16
+    activation: str = "gelu"
 
     @nn.compact
     def __call__(self, x):
         h = nn.Conv(self.widths[0], (3, 3), dtype=self.dtype)(x.astype(self.dtype))
         for i, w in enumerate(self.widths):
             for _ in range(self.blocks_per_stage):
-                h = ResBlock(w, self.dtype)(h)
+                h = ResBlock(w, self.dtype, activation=self.activation)(h)
             if i < len(self.widths) - 1:
                 h = nn.Conv(self.widths[i + 1], (3, 3), strides=(2, 2),
                             dtype=self.dtype)(h)
         h = nn.GroupNorm(num_groups=8, dtype=self.dtype)(h)
-        h = nn.gelu(h)
+        h = get_activation(self.activation)(h)
         h = h.reshape(h.shape[0], -1)
         out = nn.Dense(2 * self.z_dim, dtype=jnp.float32,
                        name="gaussian_head")(h.astype(jnp.float32))
@@ -66,6 +70,7 @@ class ResNetDecoder(nn.Module):
     blocks_per_stage: int = 2
     out_params: int = 2                        # disc-logistic: mean, log_scale
     dtype: jnp.dtype = jnp.bfloat16
+    activation: str = "gelu"
     # 'nearest': broadcast-upsample + 3x3 conv (no checkerboard artifacts);
     # 'conv_transpose': one fused stride-2 4x4 transposed conv (fewer HBM
     # round-trips; kernel 4 divisible by stride avoids most checkerboard)
@@ -81,7 +86,7 @@ class ResNetDecoder(nn.Module):
         h = h.reshape(-1, h0, w0, self.widths[0])
         for i, w in enumerate(self.widths):
             for _ in range(self.blocks_per_stage):
-                h = ResBlock(w, self.dtype)(h)
+                h = ResBlock(w, self.dtype, activation=self.activation)(h)
             if i < len(self.widths) - 1:
                 if self.upsample == "conv_transpose":
                     h = nn.ConvTranspose(self.widths[i + 1], (4, 4),
@@ -90,7 +95,7 @@ class ResNetDecoder(nn.Module):
                     h = _upsample2x(h)
                     h = nn.Conv(self.widths[i + 1], (3, 3), dtype=self.dtype)(h)
         h = nn.GroupNorm(num_groups=8, dtype=self.dtype)(h)
-        h = nn.gelu(h)
+        h = get_activation(self.activation)(h)
         out = nn.Conv(c * self.out_params, (3, 3), dtype=jnp.float32,
                       name="likelihood_head")(h.astype(jnp.float32))
         return out                              # [B, H, W, C*out_params]
@@ -105,15 +110,18 @@ class ResNetVAE(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     likelihood: str = "discretized_logistic"
     upsample: str = "nearest"
+    activation: str = "gelu"
 
     def setup(self):
         self.encoder = ResNetEncoder(self.z_dim, self.widths,
-                                     self.blocks_per_stage, self.dtype)
+                                     self.blocks_per_stage, self.dtype,
+                                     self.activation)
         out_params = 1 if self.likelihood == "bernoulli" else 2
         self.decoder = ResNetDecoder(self.image_shape,
                                      tuple(reversed(self.widths)),
                                      self.blocks_per_stage, out_params,
-                                     self.dtype, self.upsample)
+                                     self.dtype, upsample=self.upsample,
+                                     activation=self.activation)
 
     def encode(self, x):
         return self.encoder(x)

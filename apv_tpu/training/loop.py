@@ -52,6 +52,9 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
     fns = make_train_fns(cfg)
     results_dir = Path(cfg.results_dir) / cfg.name
     ckpt_dir = results_dir / "checkpoints"
+    # Multi-host: every process runs the same compute; only process 0
+    # persists (two orbax saves to one shared dir would race).
+    primary = jax.process_index() == 0
 
     state = jax.jit(fns.init_fn, out_shardings=replicated(mesh))(
         jax.random.PRNGKey(cfg.train.seed))
@@ -70,24 +73,29 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
         train_arrays, valid_arrays = arrays, None
     else:
         train_arrays, valid_arrays = load_train_arrays(cfg)
-    batcher = Batcher(train_arrays, cfg.train.batch_size, seed=cfg.train.seed)
+    host_shard = ((jax.process_index(), jax.process_count())
+                  if jax.process_count() > 1 else None)
+    batcher = Batcher(train_arrays, cfg.train.batch_size, seed=cfg.train.seed,
+                      host_shard=host_shard)
     batches = prefetch_to_device(batcher.iter_from(start),
                                  data_sharding(mesh))
 
     valid_batches = None
     if valid_arrays is not None:
-        vb = Batcher(valid_arrays,
-                     min(cfg.train.batch_size, len(valid_arrays["image"])),
-                     shuffle=False)
+        from apv_tpu.parallel.multihost import put_batch
+        vbs = min(cfg.train.batch_size, len(valid_arrays["image"]))
+        if host_shard is not None:
+            # global batch must split evenly across hosts
+            vbs = max(host_shard[1], (vbs // host_shard[1]) * host_shard[1])
+        vb = Batcher(valid_arrays, vbs, shuffle=False, host_shard=host_shard)
         shard = data_sharding(mesh)
-        valid_batches = [
-            {k: jax.device_put(v, shard) for k, v in b.items()}
-            for b in vb.epoch()]
+        valid_batches = [put_batch(b, shard) for b in vb.epoch()]
 
     logger = MetricLogger(results_dir, log_every=cfg.train.log_every,
                           batch_size=cfg.train.batch_size,
                           trace_dir=trace_dir)
-    logger.write_json("config.json", dataclasses.asdict(cfg))
+    if primary:
+        logger.write_json("config.json", dataclasses.asdict(cfg))
 
     def run_validation(state, step):
         sums: dict[str, float] = {}
@@ -116,12 +124,14 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
                     # SURVEY.md §5)
                     if vm["valid_elbo"] > best_valid_elbo:
                         best_valid_elbo = vm["valid_elbo"]
-                        ckpt.save_checkpoint(results_dir / "best",
-                                             jax.device_get(state), step + 1)
-                        logger.write_json("best.json",
-                                          {"step": step + 1, **vm})
-                if (step + 1) % cfg.train.checkpoint_every == 0 \
-                        or step + 1 == stop:
+                        if primary:
+                            ckpt.save_checkpoint(results_dir / "best",
+                                                 jax.device_get(state),
+                                                 step + 1)
+                            logger.write_json("best.json",
+                                              {"step": step + 1, **vm})
+                if primary and ((step + 1) % cfg.train.checkpoint_every == 0
+                                or step + 1 == stop):
                     ckpt.save_checkpoint(ckpt_dir, jax.device_get(state),
                                          step + 1)
     except KeyboardInterrupt:
@@ -130,7 +140,8 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
         # surface as a JaxRuntimeError instead (backend torn down) — that
         # path intentionally does NOT save, since the state may be
         # unreadable; the periodic checkpoint covers it.
-        ckpt.save_checkpoint(ckpt_dir, jax.device_get(state), step + 1)
+        if primary:
+            ckpt.save_checkpoint(ckpt_dir, jax.device_get(state), step + 1)
         print(f"interrupted at step {step + 1}; checkpoint saved — resume "
               f"with --resume", flush=True)
         raise

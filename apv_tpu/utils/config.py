@@ -29,6 +29,10 @@ class ModelConfig:
     likelihood: str = "bernoulli"              # bernoulli | discretized_logistic
     image_shape: tuple[int, int, int] = (28, 28, 1)
     upsample: str = "nearest"                  # resnet decoder: nearest | conv_transpose
+    # gelu | gelu_sigmoid | silu | relu | leaky_relu (models/common.py) —
+    # GELU's tanh chain is measured VPU overhead; the TF1-era reference
+    # family most plausibly used (Leaky)ReLU (RESULTS.md roofline).
+    activation: str = "gelu"
 
 
 @dataclass(frozen=True)

@@ -64,3 +64,91 @@ def test_batch_shards_across_devices():
     # each of the 8 devices holds a [4, H, W, C] shard
     shard_shapes = {s.data.shape for s in x.addressable_shards}
     assert shard_shapes == {(4,) + batch["image"].shape[1:]}
+
+
+# ---------------------------------------------------------------------------
+# Multi-host groundwork (VERDICT r1 item 8): the 8-device mesh treated as
+# 2 hosts x 4 devices. jax.distributed can't run 2 processes in one test,
+# so the per-host assembly path is simulated exactly: each "host" cuts its
+# Batcher(host_shard) rows and contributes per-device single-device arrays;
+# the assembled global array must drive the train step to the same result
+# as today's single-host device_put path.
+# ---------------------------------------------------------------------------
+
+def test_batcher_host_shards_concatenate_to_global():
+    from apv_tpu.data import Batcher
+
+    arrays = {"image": np.arange(64 * 4, dtype=np.float32).reshape(64, 4)}
+    whole = Batcher(arrays, 16, seed=3)
+    parts = [Batcher(arrays, 16, seed=3, host_shard=(p, 2)) for p in range(2)]
+    for b_all, b0, b1 in zip(whole.epoch(), parts[0].epoch(),
+                             parts[1].epoch()):
+        assert b0["image"].shape == (8, 4)
+        np.testing.assert_array_equal(
+            np.concatenate([b0["image"], b1["image"]]), b_all["image"])
+
+
+def test_batcher_host_shard_validation():
+    import pytest
+
+    from apv_tpu.data import Batcher
+    arrays = {"image": np.zeros((32, 2), np.float32)}
+    with pytest.raises(ValueError, match="divisible"):
+        Batcher(arrays, 10, host_shard=(0, 3))
+    with pytest.raises(ValueError, match="host_shard"):
+        Batcher(arrays, 8, host_shard=(2, 2))
+
+
+def test_multihost_assembly_matches_single_host():
+    """Global array assembled from per-host rows == device_put(global):
+    one adversarial train step gives identical params either way."""
+    from apv_tpu.data import Batcher
+
+    cfg = tiny_config("mnist_advprior")
+    n, bs = 64, 32
+    rng = np.random.default_rng(7)
+    arrays = {"image": (rng.random((n, 28, 28, 1)) < 0.4).astype(np.float32)}
+
+    mesh = make_mesh()
+    devices = list(mesh.devices.ravel())
+    assert len(devices) == 8
+    sharding = data_sharding(mesh)
+
+    # single-host path
+    global_batch = next(iter(Batcher(arrays, bs, seed=0).epoch()))
+
+    # per-host path: hosts 0/1 own devices[0:4]/[4:8]; each host splits its
+    # local rows across its 4 devices (the exact shard layout
+    # make_array_from_process_local_data produces under jax.distributed)
+    host_batches = [next(iter(Batcher(arrays, bs, seed=0,
+                                      host_shard=(p, 2)).epoch()))
+                    for p in range(2)]
+    per_dev = bs // 8
+
+    def assemble(key):
+        shards = []
+        for h, hb in enumerate(host_batches):
+            rows = hb[key]
+            for d in range(4):
+                dev = devices[h * 4 + d]
+                shards.append(jax.device_put(
+                    rows[d * per_dev:(d + 1) * per_dev], dev))
+        return jax.make_array_from_single_device_arrays(
+            global_batch[key].shape, sharding, shards)
+
+    assembled = {k: assemble(k) for k in global_batch}
+    np.testing.assert_array_equal(np.asarray(assembled["image"]),
+                                  global_batch["image"])
+
+    fns = make_train_fns(cfg)
+    state0 = jax.jit(fns.init_fn, out_shardings=replicated(mesh))(
+        jax.random.PRNGKey(0))
+    step = jax.jit(fns.train_step)
+    with mesh:
+        put = {k: jax.device_put(v, sharding) for k, v in global_batch.items()}
+        s_a, m_a = step(state0, put)
+        s_b, m_b = step(state0, assembled)
+    for k in m_a:
+        np.testing.assert_allclose(float(m_a[k]), float(m_b[k]), rtol=1e-6)
+    _assert_tree_close(jax.device_get(s_a).params,
+                       jax.device_get(s_b).params, rtol=1e-6, atol=1e-7)
