@@ -20,6 +20,10 @@ def _add_common(p: argparse.ArgumentParser, default_preset: str) -> None:
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (numerics debugging, "
                         "SURVEY.md §5)")
+    p.add_argument("--platform", choices=("tpu", "cpu"), default=None,
+                   help="force a JAX platform (cpu = run off-TPU; the "
+                        "JAX_PLATFORMS env var alone is overridden by the "
+                        "TPU relay's sitecustomize on this box)")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -66,6 +70,9 @@ def main(argv: list[str] | None = None) -> int:
     p_exp.add_argument("--out", default=None)
 
     args = parser.parse_args(argv)
+    if getattr(args, "platform", None):
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     if getattr(args, "distributed", False):
         # must precede any backend init (incl. the compile-cache probe)
         from apv_tpu.parallel.multihost import initialize_from_env

@@ -13,7 +13,8 @@
 #   APV_DATA_DIR=/path/to/datasets scripts/real_data_smoke.sh [results_dir]
 #   scripts/real_data_smoke.sh                  # synthetic fallback drill
 #
-# Env knobs: SMOKE_STEPS (default 300), SMOKE_EVAL_K (default 100).
+# Env knobs: SMOKE_STEPS (default 300), SMOKE_EVAL_K (default 100),
+# SMOKE_PLATFORM (tpu|cpu — cpu avoids contending for the single chip).
 
 set -euo pipefail
 
@@ -33,6 +34,11 @@ run() { echo "+ apv $*"; apv "$@"; }
 common=(--set "results_dir=${RESULTS}" --set "train.steps=${STEPS}"
         --set "train.eval_every=$((STEPS / 3))"
         --set "train.checkpoint_every=${STEPS}" "${DATA_ARGS[@]}")
+if [[ -n "${SMOKE_PLATFORM:-}" ]]; then
+  common+=(--platform "${SMOKE_PLATFORM}")
+fi
+# extra dot-path overrides, e.g. SMOKE_EXTRA_SETS="model.z_dim=8 model.widths=[8,16]"
+for kv in ${SMOKE_EXTRA_SETS:-}; do common+=(--set "$kv"); done
 
 # config 1: plain conv VAE, binarized MNIST
 run train --preset mnist_vae "${common[@]}"
