@@ -22,5 +22,6 @@ def build_model(model_cfg) -> nn.Module:
                          image_shape=tuple(model_cfg.image_shape),
                          likelihood=model_cfg.likelihood,
                          upsample=getattr(model_cfg, "upsample", "nearest"),
-                         activation=getattr(model_cfg, "activation", "gelu"))
+                         activation=getattr(model_cfg, "activation", "gelu"),
+                         norm=getattr(model_cfg, "norm", "group"))
     raise ValueError(f"unknown model family {model_cfg.family!r}")

@@ -18,21 +18,37 @@ from apv_tpu.models.common import get_activation
 from apv_tpu.models.conv_vae import _upsample2x
 
 
+def _make_norm(norm: str, groups: int, dtype):
+    """norm='group' -> flax GroupNorm; 'none' -> identity (norm-free
+    residual trunk — the TF1-era reference family plausibly used no norm,
+    and GroupNorm is ~15% of the measured step; RESULTS.md roofline).
+    Norm-free blocks scale the residual branch by 1/sqrt(2) (SkipInit-ish)
+    to keep activation variance bounded with depth."""
+    if norm == "group":
+        return nn.GroupNorm(num_groups=groups, dtype=dtype)
+    if norm == "none":
+        return lambda x: x
+    raise ValueError(f"unknown norm {norm!r} (group|none)")
+
+
 class ResBlock(nn.Module):
     width: int
     dtype: jnp.dtype = jnp.bfloat16
     groups: int = 8
     activation: str = "gelu"
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x):
         act = get_activation(self.activation)
-        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(x)
+        h = _make_norm(self.norm, self.groups, self.dtype)(x)
         h = act(h)
         h = nn.Conv(self.width, (3, 3), dtype=self.dtype)(h)
-        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(h)
+        h = _make_norm(self.norm, self.groups, self.dtype)(h)
         h = act(h)
         h = nn.Conv(self.width, (3, 3), dtype=self.dtype)(h)
+        if self.norm == "none":
+            h = h * (2.0 ** -0.5)
         if x.shape[-1] != self.width:
             x = nn.Conv(self.width, (1, 1), dtype=self.dtype)(x)
         return x + h
@@ -44,17 +60,19 @@ class ResNetEncoder(nn.Module):
     blocks_per_stage: int = 2
     dtype: jnp.dtype = jnp.bfloat16
     activation: str = "gelu"
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x):
         h = nn.Conv(self.widths[0], (3, 3), dtype=self.dtype)(x.astype(self.dtype))
         for i, w in enumerate(self.widths):
             for _ in range(self.blocks_per_stage):
-                h = ResBlock(w, self.dtype, activation=self.activation)(h)
+                h = ResBlock(w, self.dtype, activation=self.activation,
+                             norm=self.norm)(h)
             if i < len(self.widths) - 1:
                 h = nn.Conv(self.widths[i + 1], (3, 3), strides=(2, 2),
                             dtype=self.dtype)(h)
-        h = nn.GroupNorm(num_groups=8, dtype=self.dtype)(h)
+        h = _make_norm(self.norm, 8, self.dtype)(h)
         h = get_activation(self.activation)(h)
         h = h.reshape(h.shape[0], -1)
         out = nn.Dense(2 * self.z_dim, dtype=jnp.float32,
@@ -71,6 +89,7 @@ class ResNetDecoder(nn.Module):
     out_params: int = 2                        # disc-logistic: mean, log_scale
     dtype: jnp.dtype = jnp.bfloat16
     activation: str = "gelu"
+    norm: str = "group"
     # 'nearest': broadcast-upsample + 3x3 conv (no checkerboard artifacts);
     # 'conv_transpose': one fused stride-2 4x4 transposed conv (fewer HBM
     # round-trips; kernel 4 divisible by stride avoids most checkerboard)
@@ -86,7 +105,8 @@ class ResNetDecoder(nn.Module):
         h = h.reshape(-1, h0, w0, self.widths[0])
         for i, w in enumerate(self.widths):
             for _ in range(self.blocks_per_stage):
-                h = ResBlock(w, self.dtype, activation=self.activation)(h)
+                h = ResBlock(w, self.dtype, activation=self.activation,
+                             norm=self.norm)(h)
             if i < len(self.widths) - 1:
                 if self.upsample == "conv_transpose":
                     h = nn.ConvTranspose(self.widths[i + 1], (4, 4),
@@ -94,7 +114,7 @@ class ResNetDecoder(nn.Module):
                 else:
                     h = _upsample2x(h)
                     h = nn.Conv(self.widths[i + 1], (3, 3), dtype=self.dtype)(h)
-        h = nn.GroupNorm(num_groups=8, dtype=self.dtype)(h)
+        h = _make_norm(self.norm, 8, self.dtype)(h)
         h = get_activation(self.activation)(h)
         out = nn.Conv(c * self.out_params, (3, 3), dtype=jnp.float32,
                       name="likelihood_head")(h.astype(jnp.float32))
@@ -111,17 +131,19 @@ class ResNetVAE(nn.Module):
     likelihood: str = "discretized_logistic"
     upsample: str = "nearest"
     activation: str = "gelu"
+    norm: str = "group"
 
     def setup(self):
         self.encoder = ResNetEncoder(self.z_dim, self.widths,
                                      self.blocks_per_stage, self.dtype,
-                                     self.activation)
+                                     self.activation, self.norm)
         out_params = 1 if self.likelihood == "bernoulli" else 2
         self.decoder = ResNetDecoder(self.image_shape,
                                      tuple(reversed(self.widths)),
                                      self.blocks_per_stage, out_params,
                                      self.dtype, upsample=self.upsample,
-                                     activation=self.activation)
+                                     activation=self.activation,
+                                     norm=self.norm)
 
     def encode(self, x):
         return self.encoder(x)

@@ -33,6 +33,10 @@ class ModelConfig:
     # GELU's tanh chain is measured VPU overhead; the TF1-era reference
     # family most plausibly used (Leaky)ReLU (RESULTS.md roofline).
     activation: str = "gelu"
+    # group | none (resnet only): norm-free residual trunk with 1/sqrt(2)
+    # residual scaling — GroupNorm is ~15% of the measured step and the
+    # reference's normalization is [I]-level (RESULTS.md roofline).
+    norm: str = "group"
 
 
 @dataclass(frozen=True)

@@ -129,6 +129,24 @@ def test_n_critic_multiple():
     assert np.isfinite(hist[-1]["d_loss"])
 
 
+def test_activation_and_norm_knobs_train():
+    """Throughput knobs (model.activation, model.norm) train finitely and
+    actually change the function (different loss from the gelu/group
+    default at identical seeds)."""
+    batch = None
+    losses = {}
+    for tag, ov in (("default", {}),
+                    ("relu_nonorm", {"model.activation": "relu",
+                                     "model.norm": "none"})):
+        cfg = tiny_config("cifar_advprior_resnet", **ov)
+        if batch is None:
+            batch = _synthetic_batch(cfg, cfg.train.batch_size)
+        _, hist = _run_steps(cfg, 3, batch)
+        assert np.isfinite(hist[-1]["loss"]), tag
+        losses[tag] = hist[-1]["loss"]
+    assert losses["default"] != losses["relu_nonorm"]
+
+
 def test_n_critic_sweep_both_orderings():
     """Every (n_critic, d_reuse_posterior) combination must train cleanly;
     n_critic=0 skips the D phase (regression: NameError at trace in the
