@@ -92,7 +92,8 @@ def sample(config: str | Config = "mnist_vae", *,
 def export_artifact(config: str | Config = "mnist_vae", *,
                     overrides: list[str] | None = None,
                     checkpoint_dir: str | None = None,
-                    what: str = "sampler", out_path: str | None = None):
+                    what: str = "sampler", out_path: str | None = None,
+                    quantize: str | None = None):
     """AOT-export a serving artifact (StableHLO, params baked in)."""
     from apv_tpu import serving
 
@@ -101,7 +102,8 @@ def export_artifact(config: str | Config = "mnist_vae", *,
     out = out_path or (Path(cfg.results_dir) / cfg.name / f"{what}.stablehlo")
     if what == "sampler":
         d_params = state.d_params if cfg.adversarial.enabled else None
-        return serving.export_sampler(cfg, state.params, d_params, out)
+        return serving.export_sampler(cfg, state.params, d_params, out,
+                                      quantize=quantize)
     if what == "scorer":
         return serving.export_scorer(cfg, state.params, out)
     raise ValueError(f"unknown artifact {what!r} (sampler|scorer)")

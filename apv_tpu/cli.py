@@ -68,6 +68,9 @@ def main(argv: list[str] | None = None) -> int:
     p_exp.add_argument("--what", choices=("sampler", "scorer"),
                        default="sampler")
     p_exp.add_argument("--out", default=None)
+    p_exp.add_argument("--quantize", choices=("int8",), default=None,
+                       help="weight-only post-training quantization of the "
+                            "baked params (sampler only; ~4x smaller)")
 
     args = parser.parse_args(argv)
     if getattr(args, "platform", None):
@@ -108,7 +111,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.command == "export":
         path = api.export_artifact(args.preset, overrides=args.overrides,
                                    checkpoint_dir=args.checkpoint_dir,
-                                   what=args.what, out_path=args.out)
+                                   what=args.what, out_path=args.out,
+                                   quantize=args.quantize)
         print(f"exported {args.what} to {path}")
     return 0
 

@@ -81,10 +81,67 @@ def _scorer_fn(cfg: Config, params):
 
 _PLATFORMS = ("tpu", "cpu")     # lower for both: artifacts are portable
 
+_Q8 = "__q8__"                  # marker key for a quantized leaf
 
-def export_sampler(cfg: Config, params, d_params, out_path: str | Path) -> Path:
-    """Serialize the batched generation path (params baked in)."""
-    fn = _sampler_fn(cfg, params, d_params)
+
+def quantize_params_int8(params, min_size: int = 4096):
+    """Weight-only int8 post-training quantization of kernel tensors.
+
+    Symmetric per-output-channel scales (last axis = output features for
+    both flax Dense and Conv kernels); biases, norm scales, and small
+    tensors stay float. Quantized leaves become
+    ``{"__q8__": int8[...], "scale": f32[1,...,C]}`` — the serving
+    artifact stores int8 constants (≈4× smaller), and the dequantize
+    (one multiply per weight) fuses into the first use at run time.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    out = []
+    for path, x in flat:
+        name = str(path[-1])
+        if "kernel" in name and x.ndim >= 2 and x.size >= min_size:
+            xf = jnp.asarray(x, jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            s = jnp.max(jnp.abs(xf), axis=axes, keepdims=True) / 127.0
+            s = jnp.where(s == 0, jnp.float32(1.0), s)
+            q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+            out.append({_Q8: q, "scale": s})
+        else:
+            out.append(x)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def dequantize_params(tree, dtype=jnp.float32):
+    """Inverse of ``quantize_params_int8`` (runs inside the traced fn)."""
+    def is_q(x):
+        return isinstance(x, dict) and _Q8 in x
+
+    return jax.tree.map(
+        lambda x: (x[_Q8].astype(dtype) * x["scale"].astype(dtype)
+                   if is_q(x) else x),
+        tree, is_leaf=is_q)
+
+
+def export_sampler(cfg: Config, params, d_params, out_path: str | Path,
+                   quantize: str | None = None) -> Path:
+    """Serialize the batched generation path (params baked in).
+
+    ``quantize='int8'`` applies weight-only post-training quantization to
+    the baked parameters (≈4× smaller artifact; decode quality tested to
+    match within tolerance — tests/test_serving.py).
+    """
+    if quantize == "int8":
+        q = quantize_params_int8(params)
+        qd = quantize_params_int8(d_params) if d_params is not None else None
+
+        def fn(seed):
+            return _sampler_fn(cfg, dequantize_params(q),
+                               None if qd is None else dequantize_params(qd)
+                               )(seed)
+    elif quantize is None:
+        fn = _sampler_fn(cfg, params, d_params)
+    else:
+        raise ValueError(f"unknown quantize mode {quantize!r} (int8)")
     exp = jax_export.export(jax.jit(fn), platforms=_PLATFORMS)(
         jax.ShapeDtypeStruct((), jnp.int32))
     out_path = Path(out_path)

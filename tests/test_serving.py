@@ -38,6 +38,44 @@ def test_sampler_export_adversarial_sir(tmp_path):
     assert imgs.shape == (4, 28, 28, 1)
 
 
+def test_sampler_int8_quantized_export(tmp_path):
+    """int8 weight-only quantization: artifact shrinks ~4x on the baked
+    weights and the decoded images stay close to the f32 artifact's."""
+    cfg = tiny_config("mnist_vae", **{"eval.batch_size": 8,
+                                      "model.dense": 256})
+    state = _state(cfg)
+    p32 = serving.export_sampler(cfg, state.params, None,
+                                 tmp_path / "s32.stablehlo")
+    p8 = serving.export_sampler(cfg, state.params, None,
+                                tmp_path / "s8.stablehlo", quantize="int8")
+    assert p8.stat().st_size < 0.5 * p32.stat().st_size, (
+        p8.stat().st_size, p32.stat().st_size)
+    a = np.asarray(serving.load_exported(p32).call(jnp.int32(7)))
+    b = np.asarray(serving.load_exported(p8).call(jnp.int32(7)))
+    assert a.shape == b.shape
+    # images in [0,1]; per-channel int8 weights keep decode close
+    assert np.mean(np.abs(a - b)) < 0.05, np.mean(np.abs(a - b))
+    assert np.all((b >= 0) & (b <= 1))
+
+
+def test_quantize_roundtrip_error_bound():
+    from apv_tpu.serving import dequantize_params, quantize_params_int8
+    rng = np.random.default_rng(0)
+    params = {"layer": {"kernel": rng.normal(0, 0.1, (128, 64)).astype(
+        np.float32) * rng.random((1, 64), np.float32),
+        "bias": rng.normal(0, 1, (64,)).astype(np.float32)}}
+    q = quantize_params_int8(jax.tree.map(jnp.asarray, params))
+    assert q["layer"]["kernel"]["__q8__"].dtype == jnp.int8
+    # bias untouched
+    np.testing.assert_array_equal(np.asarray(q["layer"]["bias"]),
+                                  params["layer"]["bias"])
+    d = dequantize_params(q)
+    w = params["layer"]["kernel"]
+    # symmetric per-channel: error <= scale/2 = max|w|_col / 254
+    bound = np.abs(w).max(axis=0, keepdims=True) / 254.0 + 1e-8
+    assert np.all(np.abs(np.asarray(d["layer"]["kernel"]) - w) <= bound)
+
+
 def test_scorer_cifar_centers_encoder_input(tmp_path):
     """Non-binarized configs must feed the encoder centered [-1,1] input
     (the train/eval distribution — eval/run.py::_prep_eval_batch), while
