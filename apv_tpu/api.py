@@ -47,7 +47,7 @@ def evaluate(config: str | Config = "iwae_eval", *,
              checkpoint_dir: str | None = None, dataset: str | None = None,
              k: int | None = None, per_sample: bool = False) -> dict:
     """IWAE-k test NLL + bits/dim for a trained checkpoint."""
-    from apv_tpu.eval.run import evaluate_nll
+    from apv_tpu.eval.run import evaluate_nll, posterior_activity
     from apv_tpu.utils.logging import MetricLogger
 
     cfg = _resolve(config, overrides)
@@ -55,6 +55,9 @@ def evaluate(config: str | Config = "iwae_eval", *,
     result = evaluate_nll(cfg, state.params,
                           state.d_params if cfg.adversarial.enabled else None,
                           dataset=dataset, k=k, per_sample=per_sample)
+    # Posterior-collapse diagnostic (one cheap encoder pass next to the
+    # IWAE-k sweep): active units per the IWAE paper's Cov_x(E_q[z]) test.
+    result.update(posterior_activity(cfg, state.params, dataset=dataset))
     out = {k_: v for k_, v in result.items() if k_ != "per_sample"}
     MetricLogger(Path(cfg.results_dir) / cfg.name).write_json(
         "eval.json", out)

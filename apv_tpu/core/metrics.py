@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def nats_to_bits_per_dim(nll_nats, num_dims: int, *,
@@ -31,6 +32,30 @@ def nats_to_bits_per_dim(nll_nats, num_dims: int, *,
 
 def bits_per_dim_to_nats(bpd, num_dims: int):
     return bpd * num_dims * math.log(2.0)
+
+
+def active_units(mean_batches, threshold: float = 1e-2):
+    """Active latent units à la the IWAE paper (arXiv 1509.00519 §5.1):
+    unit u is active if A_u = Cov_x(E_{z~q(z|x)}[z_u]) > threshold.
+
+    ``mean_batches`` yields [B, Z] posterior-mean arrays; the variance over
+    all examples is accumulated in float64 streaming moments (one pass, no
+    materialized N×Z matrix). Returns (count, per-dim variance [Z]).
+    """
+    n = 0
+    s = s2 = None
+    for m in mean_batches:
+        m = np.asarray(m, np.float64).reshape(m.shape[0], -1)
+        if s is None:
+            s = np.zeros(m.shape[1])
+            s2 = np.zeros(m.shape[1])
+        n += m.shape[0]
+        s += m.sum(axis=0)
+        s2 += (m * m).sum(axis=0)
+    if not n:
+        raise ValueError("active_units: no posterior means supplied")
+    var = s2 / n - (s / n) ** 2
+    return int((var > threshold).sum()), var
 
 
 def binary_accuracy(logits, labels):

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from apv_tpu.core.metrics import nats_to_bits_per_dim
+from apv_tpu.core.metrics import active_units, nats_to_bits_per_dim
 from apv_tpu.data import (Batcher, load_dataset, prefetch_to_device,
                           static_binarize)
 from apv_tpu.data.preprocess import normalize_center, to_unit_interval
@@ -50,6 +50,43 @@ def _prep_eval_batch(cfg: Config, image):
     levels = (to_unit_interval(image) if image.dtype == np.uint8
               else np.asarray(image, np.float32))
     return normalize_center(levels), levels
+
+
+def posterior_activity(cfg: Config, params, *, mesh=None,
+                       dataset: str | None = None,
+                       max_examples: int | None = None,
+                       threshold: float = 1e-2,
+                       batch_size: int | None = None) -> dict:
+    """Active latent units over the test set (IWAE paper §5.1 diagnostic:
+    A_u = Cov_x(E_q[z_u]) > threshold) — a posterior-collapse report to go
+    with the config-4 NLL numbers. One jitted encoder pass, streamed."""
+    mesh = mesh if mesh is not None else make_mesh()
+    model = build_model(cfg.model)
+    encode = jax.jit(
+        lambda p, x: model.apply({"params": p}, x, method="encode"))
+
+    arrays = eval_arrays(cfg, dataset, max_examples or cfg.eval.max_examples)
+    batch_size = batch_size if batch_size is not None else cfg.eval.batch_size
+    batcher = Batcher(arrays, min(batch_size, len(arrays["image"])),
+                      shuffle=False)
+    params = jax.device_put(params, replicated(mesh))
+
+    def mean_batches():
+        with mesh:
+            for batch in batcher.epoch():
+                x_in, _ = _prep_eval_batch(cfg, batch["image"])
+                mean, _ = encode(params, jax.device_put(
+                    x_in, data_sharding(mesh)))
+                yield np.asarray(mean)
+
+    count, var = active_units(mean_batches(), threshold=threshold)
+    return {
+        "active_units": count,
+        "z_dim": int(cfg.model.z_dim),
+        "threshold": threshold,
+        "max_unit_variance": float(var.max()),
+        "median_unit_variance": float(np.median(var)),
+    }
 
 
 def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,

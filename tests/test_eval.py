@@ -43,6 +43,34 @@ def test_evaluate_nll_adversarial_disc_logistic():
     assert np.isfinite(res["log_partition"])
 
 
+def test_active_units_streaming_moments():
+    """IWAE-paper active-units rule on crafted means: a unit whose
+    posterior mean varies across examples is active, a constant one is
+    not; batched streaming equals the one-shot computation."""
+    from apv_tpu.core.metrics import active_units
+    rng = np.random.default_rng(0)
+    means = np.stack([rng.normal(0.0, 1.0, 256),      # active (var ~ 1)
+                      np.full(256, 0.37),             # collapsed (var 0)
+                      rng.normal(5.0, 0.05, 256)],    # var 2.5e-3 < 1e-2
+                     axis=1)
+    count, var = active_units([means])
+    assert count == 1
+    assert var[0] > 1e-2 and var[1] < 1e-12 and var[2] < 1e-2
+    count_b, var_b = active_units([means[:100], means[100:]])
+    assert count_b == count
+    np.testing.assert_allclose(var_b, var, atol=1e-12)
+
+
+def test_posterior_activity_report():
+    from apv_tpu.eval.run import posterior_activity
+    cfg = tiny_config("mnist_vae")
+    state = _init_state(cfg)
+    rep = posterior_activity(cfg, state.params, max_examples=32)
+    assert 0 <= rep["active_units"] <= rep["z_dim"] == cfg.model.z_dim
+    assert np.isfinite(rep["max_unit_variance"])
+    assert rep["max_unit_variance"] >= rep["median_unit_variance"] >= 0
+
+
 def test_iwae_more_k_not_worse():
     """On a fixed model, E[IWAE_k] improves with k; with shared seeds and
     modest variance a single comparison at k=1 vs k=32 should hold."""
