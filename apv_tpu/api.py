@@ -7,6 +7,7 @@ overrides) and consumes/produces the shared orbax checkpoint format.
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 
 import jax
@@ -68,8 +69,13 @@ def sample(config: str | Config = "mnist_vae", *,
            overrides: list[str] | None = None,
            checkpoint_dir: str | None = None, n: int = 64,
            mode: str = "mean", seed: int = 0,
-           out_path: str | None = None):
-    """Decode n prior samples; writes a PNG grid, returns the images."""
+           out_path: str | None = None, quality_n: int = 0):
+    """Decode n prior samples; writes a PNG grid, returns the images.
+
+    ``quality_n > 0`` additionally computes generated-vs-real sample-quality
+    distances over that many samples (random-feature Fréchet distance +
+    RBF-MMD²; eval/sample_quality.py) and writes sample_quality.json.
+    """
     from apv_tpu.models import LatentDiscriminator, build_model
     from apv_tpu.sampling import generate_samples, save_image_grid
 
@@ -89,6 +95,14 @@ def sample(config: str | Config = "mnist_vae", *,
                               d_params=d_params, mode=mode)
     path = out_path or Path(cfg.results_dir) / cfg.name / "samples.png"
     save_image_grid(images, path)
+    if quality_n > 0:
+        from apv_tpu.eval.sample_quality import sample_quality
+        from apv_tpu.utils.logging import MetricLogger
+        metrics = sample_quality(cfg, state.params, d_params, n=quality_n,
+                                 seed=seed)
+        MetricLogger(Path(cfg.results_dir) / cfg.name).write_json(
+            "sample_quality.json", metrics)
+        print(json.dumps(metrics, indent=2))
     return images
 
 
@@ -116,8 +130,6 @@ def _load_named_model(cfg: Config, name: str):
     """(cfg_b, params_b, d_params_b) for a results-dir name: architecture
     from its saved config.json (falls back to the preset registry), params
     from its checkpoint."""
-    import json
-
     from apv_tpu.utils.config import config_from_dict, get_preset
 
     cfg_path = Path(cfg.results_dir) / name / "config.json"

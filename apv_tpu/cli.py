@@ -54,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
                           default="mean")
     p_sample.add_argument("--seed", type=int, default=0)
     p_sample.add_argument("--out", default=None)
+    p_sample.add_argument("--quality", type=int, default=0, metavar="N",
+                          help="also compute generated-vs-real sample-"
+                               "quality distances over N samples (random-"
+                               "feature Fréchet + RBF-MMD²) → "
+                               "sample_quality.json")
 
     p_ood = sub.add_parser("ood", help="OOD scoring suite")
     _add_common(p_ood, "ood_suite")
@@ -101,7 +106,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.command == "sample":
         api.sample(args.preset, overrides=args.overrides,
                    checkpoint_dir=args.checkpoint_dir, n=args.n,
-                   mode=args.mode, seed=args.seed, out_path=args.out)
+                   mode=args.mode, seed=args.seed, out_path=args.out,
+                   quality_n=args.quality)
         print("wrote sample grid")
     elif args.command == "ood":
         result = api.ood_score(args.preset, overrides=args.overrides,

@@ -187,6 +187,42 @@ def test_ood_both_with_reverse_model():
     assert 0.0 <= both["reverse"]["auroc_in_vs_ood"] <= 1.0
 
 
+def test_frechet_and_mmd_two_sample_behavior():
+    """Identical sets → ~0; same distribution → small; shifted
+    distribution → clearly larger, for both distances."""
+    from apv_tpu.eval.sample_quality import frechet_distance, mmd2_rbf
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 1, (500, 16))
+    a2 = rng.normal(0, 1, (500, 16))
+    b = rng.normal(1.5, 1, (500, 16))
+    assert frechet_distance(a, a) < 1e-6
+    assert frechet_distance(a, a2) < 0.5 < frechet_distance(a, b)
+    assert abs(mmd2_rbf(a, a2)) < 0.01 < mmd2_rbf(a, b)
+
+
+def test_feature_net_deterministic():
+    from apv_tpu.eval.sample_quality import extract_features, feature_params
+    x = jnp.asarray(np.random.default_rng(1).uniform(size=(4, 28, 28, 1)),
+                    jnp.float32)
+    f1 = extract_features(feature_params(jax.random.PRNGKey(3), 1), x)
+    f2 = extract_features(feature_params(jax.random.PRNGKey(3), 1), x)
+    assert f1.shape == (4, 256)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
+def test_sample_quality_report():
+    from apv_tpu.eval.sample_quality import sample_quality
+    cfg = tiny_config("mnist_advprior")
+    state = _init_state(cfg)
+    rep = sample_quality(cfg, state.params, state.d_params, n=64,
+                         batch_size=32)
+    assert rep["n"] == 64
+    assert np.isfinite(rep["frechet_rfd"]) and rep["frechet_rfd"] >= 0
+    assert np.isfinite(rep["mmd2_rbf"])
+    # untrained samples vs real data must not look identical
+    assert rep["frechet_rfd"] > 1e-3
+
+
 def test_sampling_and_grid(tmp_path):
     from apv_tpu.sampling import generate_samples, save_image_grid
     cfg = tiny_config("mnist_vae")
