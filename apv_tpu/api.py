@@ -106,6 +106,55 @@ def sample(config: str | Config = "mnist_vae", *,
     return images
 
 
+def visualize(config: str | Config = "mnist_vae", *,
+              overrides: list[str] | None = None,
+              checkpoint_dir: str | None = None, what: str = "reconstruct",
+              n: int = 8, steps: int = 8, seed: int = 0, mode: str = "mean",
+              out_path: str | None = None):
+    """Reconstruction / latent-interpolation grids (L6 visualization).
+
+    ``what='reconstruct'``: first n test images over their q(z|x)-sample
+    reconstructions (top row originals, bottom row reconstructions).
+    ``what='interpolate'``: n pairs of test images, slerp in latent space,
+    one row per pair with ``steps`` columns.
+    """
+    import numpy as np
+
+    from apv_tpu.eval.run import _prep_eval_batch, eval_arrays
+    from apv_tpu.models import build_model
+    from apv_tpu.sampling import (latent_interpolate, reconstruct_images,
+                                  save_image_grid)
+
+    cfg = _resolve(config, overrides)
+    state = _restore_state(cfg, checkpoint_dir)
+    model = build_model(cfg.model)
+    need = n if what == "reconstruct" else 2 * n
+    arrays = eval_arrays(cfg, None, max_examples=need)
+    x_in, x_levels = _prep_eval_batch(cfg, arrays["image"][:need])
+
+    if what == "reconstruct":
+        recon = reconstruct_images(model, state.params, x_in,
+                                   jax.random.PRNGKey(seed),
+                                   cfg.model.likelihood,
+                                   cfg.model.image_shape[2], mode=mode)
+        grid = np.concatenate([np.asarray(x_levels), np.asarray(recon)])
+        path = out_path or (Path(cfg.results_dir) / cfg.name
+                            / "reconstructions.png")
+        save_image_grid(grid, path, cols=n)
+        return recon
+    if what == "interpolate":
+        frames = latent_interpolate(model, state.params, x_in[:n], x_in[n:],
+                                    steps, cfg.model.likelihood,
+                                    cfg.model.image_shape[2])
+        flat = np.asarray(frames).reshape((-1,) + frames.shape[2:])
+        path = out_path or (Path(cfg.results_dir) / cfg.name
+                            / "interpolation.png")
+        save_image_grid(flat, path, cols=steps)
+        return frames
+    raise ValueError(f"unknown visualization {what!r} "
+                     "(reconstruct|interpolate)")
+
+
 def export_artifact(config: str | Config = "mnist_vae", *,
                     overrides: list[str] | None = None,
                     checkpoint_dir: str | None = None,

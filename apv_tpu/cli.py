@@ -54,6 +54,15 @@ def main(argv: list[str] | None = None) -> int:
                           default="mean")
     p_sample.add_argument("--seed", type=int, default=0)
     p_sample.add_argument("--out", default=None)
+    p_sample.add_argument("--visualize", choices=("reconstruct",
+                                                  "interpolate"),
+                          default=None,
+                          help="instead of prior samples, write a test-set "
+                               "reconstruction grid or a latent slerp grid "
+                               "(-n rows, --steps columns)")
+    p_sample.add_argument("--steps", type=int, default=8,
+                          help="interpolation steps (with --visualize "
+                               "interpolate)")
     p_sample.add_argument("--quality", type=int, default=0, metavar="N",
                           help="also compute generated-vs-real sample-"
                                "quality distances over N samples (random-"
@@ -104,11 +113,18 @@ def main(argv: list[str] | None = None) -> int:
                               dataset=args.dataset, k=args.k)
         print(json.dumps(result, indent=2))
     elif args.command == "sample":
-        api.sample(args.preset, overrides=args.overrides,
-                   checkpoint_dir=args.checkpoint_dir, n=args.n,
-                   mode=args.mode, seed=args.seed, out_path=args.out,
-                   quality_n=args.quality)
-        print("wrote sample grid")
+        if args.visualize:
+            api.visualize(args.preset, overrides=args.overrides,
+                          checkpoint_dir=args.checkpoint_dir,
+                          what=args.visualize, n=args.n, steps=args.steps,
+                          seed=args.seed, mode=args.mode, out_path=args.out)
+            print(f"wrote {args.visualize} grid")
+        else:
+            api.sample(args.preset, overrides=args.overrides,
+                       checkpoint_dir=args.checkpoint_dir, n=args.n,
+                       mode=args.mode, seed=args.seed, out_path=args.out,
+                       quality_n=args.quality)
+            print("wrote sample grid")
     elif args.command == "ood":
         result = api.ood_score(args.preset, overrides=args.overrides,
                                checkpoint_dir=args.checkpoint_dir,

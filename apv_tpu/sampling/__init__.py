@@ -1,3 +1,5 @@
 """Sampling / visualization layer (SURVEY.md §1 L6)."""
 
-from apv_tpu.sampling.run import generate_samples, save_image_grid  # noqa: F401
+from apv_tpu.sampling.run import (generate_samples,  # noqa: F401
+                                  latent_interpolate, reconstruct_images,
+                                  save_image_grid)

@@ -29,6 +29,24 @@ def sample_prior(key: jax.Array, n: int, z_dim: int, *, d_apply=None,
     return pool[idx]
 
 
+def decoder_pixels(out: jax.Array, key: jax.Array, likelihood: str,
+                   image_channels: int, mode: str = "mean") -> jax.Array:
+    """Decoder output → images in [0,1] ('mean' of the pixel likelihood,
+    or 'sample' to draw from it)."""
+    lik = decoder_output_to_likelihood_params(out, likelihood,
+                                              image_channels)
+    if likelihood == "bernoulli":
+        probs = jax.nn.sigmoid(lik[0])
+        if mode == "mean":
+            return probs
+        return jax.random.bernoulli(key, probs).astype(jnp.float32)
+    mean, log_scale = lik
+    if mode == "mean":
+        return jnp.clip(mean, 0.0, 1.0)
+    from apv_tpu.core.distributions import discretized_logistic_sample
+    return discretized_logistic_sample(key, mean, log_scale)
+
+
 def generate_samples(model, params, key: jax.Array, n: int, z_dim: int,
                      likelihood: str, image_channels: int, *,
                      d_apply=None, d_params=None,
@@ -40,20 +58,66 @@ def generate_samples(model, params, key: jax.Array, n: int, z_dim: int,
         k_z, k_x = jax.random.split(key)
         z = sample_prior(k_z, n, z_dim, d_apply=d_apply, d_params=d_params)
         out = model.apply({"params": params}, z, method="decode")
-        lik = decoder_output_to_likelihood_params(out, likelihood,
-                                                  image_channels)
-        if likelihood == "bernoulli":
-            probs = jax.nn.sigmoid(lik[0])
-            if mode == "mean":
-                return probs
-            return jax.random.bernoulli(k_x, probs).astype(jnp.float32)
-        mean, log_scale = lik
-        if mode == "mean":
-            return jnp.clip(mean, 0.0, 1.0)
-        from apv_tpu.core.distributions import discretized_logistic_sample
-        return discretized_logistic_sample(k_x, mean, log_scale)
+        return decoder_pixels(out, k_x, likelihood, image_channels, mode)
 
     return _run(params, d_params, key)
+
+
+def reconstruct_images(model, params, x_in: jax.Array, key: jax.Array,
+                       likelihood: str, image_channels: int, *,
+                       mode: str = "mean") -> jax.Array:
+    """x → q(z|x) sample → decode, one jitted pass (visualization parity:
+    the reference lineage's reconstruction plots — SURVEY.md §1 L6)."""
+
+    @jax.jit
+    def _run(params, x, key):
+        k_z, k_x = jax.random.split(key)
+        mean, logvar = model.apply({"params": params}, x, method="encode")
+        from apv_tpu import ops
+        z = ops.reparam_sample(k_z, mean, logvar)
+        out = model.apply({"params": params}, z, method="decode")
+        return decoder_pixels(out, k_x, likelihood, image_channels, mode)
+
+    return _run(params, x_in, key)
+
+
+def latent_interpolate(model, params, x_a: jax.Array, x_b: jax.Array,
+                       steps: int, likelihood: str, image_channels: int, *,
+                       kind: str = "slerp") -> jax.Array:
+    """Decode a latent path between two image batches: encode both to
+    posterior means, interpolate in z ('slerp' walks the great circle —
+    the natural path under a Gaussian prior, where interpolants keep
+    typical norm — or 'lerp'), decode every step in one batched pass.
+
+    Returns [P, steps, H, W, C] for P pairs.
+    """
+
+    @jax.jit
+    def _run(params, x_a, x_b):
+        z_a, _ = model.apply({"params": params}, x_a, method="encode")
+        z_b, _ = model.apply({"params": params}, x_b, method="encode")
+        t = jnp.linspace(0.0, 1.0, steps)[None, :, None]      # [1,S,1]
+        za, zb = z_a[:, None, :], z_b[:, None, :]              # [P,1,Z]
+        if kind == "slerp":
+            na = jnp.linalg.norm(za, axis=-1, keepdims=True)
+            nb = jnp.linalg.norm(zb, axis=-1, keepdims=True)
+            cos = jnp.sum(za * zb, -1, keepdims=True) / (na * nb + 1e-9)
+            omega = jnp.arccos(jnp.clip(cos, -1 + 1e-7, 1 - 1e-7))
+            so = jnp.sin(omega)
+            z = (jnp.sin((1 - t) * omega) / so * za
+                 + jnp.sin(t * omega) / so * zb)
+        elif kind == "lerp":
+            z = (1 - t) * za + t * zb
+        else:
+            raise ValueError(f"unknown interpolation kind {kind!r}")
+        p, s, zd = z.shape
+        out = model.apply({"params": params}, z.reshape(p * s, zd),
+                          method="decode")
+        img = decoder_pixels(out, jax.random.PRNGKey(0), likelihood,
+                             image_channels, "mean")
+        return img.reshape((p, s) + img.shape[1:])
+
+    return _run(params, x_a, x_b)
 
 
 def save_image_grid(images, path: str | Path, *, cols: int = 8,

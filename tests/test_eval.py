@@ -239,6 +239,43 @@ def test_sampling_and_grid(tmp_path):
     assert p.exists() and p.stat().st_size > 100
 
 
+def test_reconstruct_images():
+    from apv_tpu.sampling import reconstruct_images
+    cfg = tiny_config("mnist_vae")
+    state = _init_state(cfg)
+    model = build_model(cfg.model)
+    x = np.random.default_rng(0).integers(0, 2, (6, 28, 28, 1)).astype(
+        np.float32)
+    rec = reconstruct_images(model, state.params, jnp.asarray(x),
+                             jax.random.PRNGKey(0), "bernoulli", 1)
+    arr = np.asarray(rec)
+    assert arr.shape == x.shape
+    assert arr.min() >= 0 and arr.max() <= 1
+
+
+def test_latent_interpolate_endpoints_and_kinds():
+    from apv_tpu.sampling import latent_interpolate
+    from apv_tpu.sampling.run import decoder_pixels
+    cfg = tiny_config("mnist_vae")
+    state = _init_state(cfg)
+    model = build_model(cfg.model)
+    x = np.random.default_rng(1).integers(0, 2, (4, 28, 28, 1)).astype(
+        np.float32)
+    xa, xb = jnp.asarray(x[:2]), jnp.asarray(x[2:])
+    frames = latent_interpolate(model, state.params, xa, xb, 5,
+                                "bernoulli", 1)
+    assert frames.shape == (2, 5, 28, 28, 1)
+    # endpoint t=0 decodes exactly the posterior mean of x_a
+    za, _ = model.apply({"params": state.params}, xa, method="encode")
+    out = model.apply({"params": state.params}, za, method="decode")
+    ref = decoder_pixels(out, jax.random.PRNGKey(0), "bernoulli", 1, "mean")
+    np.testing.assert_allclose(np.asarray(frames[:, 0]), np.asarray(ref),
+                               atol=1e-5)
+    lerp = latent_interpolate(model, state.params, xa, xb, 5, "bernoulli",
+                              1, kind="lerp")
+    assert not np.allclose(np.asarray(frames[:, 2]), np.asarray(lerp[:, 2]))
+
+
 def test_sir_prior_sampling():
     from apv_tpu.sampling.run import sample_prior
     disc = LatentDiscriminator((16,))
