@@ -33,6 +33,13 @@ def _restore_state(cfg: Config, checkpoint_dir: str | None = None):
     return ckpt.restore_checkpoint(ckpt_dir, template)
 
 
+def _p(state, cfg):
+    """Params eval-side entry points consume: the Polyak average when
+    train.ema_decay is on (training/state.eval_params)."""
+    from apv_tpu.training.state import eval_params
+    return eval_params(state, cfg)
+
+
 def train(config: str | Config = "mnist_vae", *,
           overrides: list[str] | None = None, resume: bool = False,
           max_steps: int | None = None, trace_dir: str | None = None):
@@ -53,12 +60,12 @@ def evaluate(config: str | Config = "iwae_eval", *,
 
     cfg = _resolve(config, overrides)
     state = _restore_state(cfg, checkpoint_dir)
-    result = evaluate_nll(cfg, state.params,
+    result = evaluate_nll(cfg, _p(state, cfg),
                           state.d_params if cfg.adversarial.enabled else None,
                           dataset=dataset, k=k, per_sample=per_sample)
     # Posterior-collapse diagnostic (one cheap encoder pass next to the
     # IWAE-k sweep): active units per the IWAE paper's Cov_x(E_q[z]) test.
-    result.update(posterior_activity(cfg, state.params, dataset=dataset))
+    result.update(posterior_activity(cfg, _p(state, cfg), dataset=dataset))
     out = {k_: v for k_, v in result.items() if k_ != "per_sample"}
     MetricLogger(Path(cfg.results_dir) / cfg.name).write_json(
         "eval.json", out)
@@ -89,7 +96,7 @@ def sample(config: str | Config = "mnist_vae", *,
         def d_apply(dp, z):
             return disc.apply({"params": dp}, z)
         d_params = state.d_params
-    images = generate_samples(model, state.params, jax.random.PRNGKey(seed),
+    images = generate_samples(model, _p(state, cfg), jax.random.PRNGKey(seed),
                               n, cfg.model.z_dim, cfg.model.likelihood,
                               cfg.model.image_shape[2], d_apply=d_apply,
                               d_params=d_params, mode=mode)
@@ -98,7 +105,7 @@ def sample(config: str | Config = "mnist_vae", *,
     if quality_n > 0:
         from apv_tpu.eval.sample_quality import sample_quality
         from apv_tpu.utils.logging import MetricLogger
-        metrics = sample_quality(cfg, state.params, d_params, n=quality_n,
+        metrics = sample_quality(cfg, _p(state, cfg), d_params, n=quality_n,
                                  seed=seed)
         MetricLogger(Path(cfg.results_dir) / cfg.name).write_json(
             "sample_quality.json", metrics)
@@ -133,7 +140,7 @@ def visualize(config: str | Config = "mnist_vae", *,
     x_in, x_levels = _prep_eval_batch(cfg, arrays["image"][:need])
 
     if what == "reconstruct":
-        recon = reconstruct_images(model, state.params, x_in,
+        recon = reconstruct_images(model, _p(state, cfg), x_in,
                                    jax.random.PRNGKey(seed),
                                    cfg.model.likelihood,
                                    cfg.model.image_shape[2], mode=mode)
@@ -143,7 +150,7 @@ def visualize(config: str | Config = "mnist_vae", *,
         save_image_grid(grid, path, cols=n)
         return recon
     if what == "interpolate":
-        frames = latent_interpolate(model, state.params, x_in[:n], x_in[n:],
+        frames = latent_interpolate(model, _p(state, cfg), x_in[:n], x_in[n:],
                                     steps, cfg.model.likelihood,
                                     cfg.model.image_shape[2])
         flat = np.asarray(frames).reshape((-1,) + frames.shape[2:])
@@ -168,10 +175,10 @@ def export_artifact(config: str | Config = "mnist_vae", *,
     out = out_path or (Path(cfg.results_dir) / cfg.name / f"{what}.stablehlo")
     if what == "sampler":
         d_params = state.d_params if cfg.adversarial.enabled else None
-        return serving.export_sampler(cfg, state.params, d_params, out,
+        return serving.export_sampler(cfg, _p(state, cfg), d_params, out,
                                       quantize=quantize)
     if what == "scorer":
-        return serving.export_scorer(cfg, state.params, out)
+        return serving.export_scorer(cfg, _p(state, cfg), out)
     raise ValueError(f"unknown artifact {what!r} (sampler|scorer)")
 
 
@@ -215,10 +222,10 @@ def ood_score(config: str | Config = "ood_suite", *,
     if both:
         reverse = (None if cfg.ood.reverse_of is None
                    else _load_named_model(cfg, cfg.ood.reverse_of))
-        result = ood_both(cfg, state.params, d_params, seed=seed,
+        result = ood_both(cfg, _p(state, cfg), d_params, seed=seed,
                           baseline=baseline, reverse=reverse)
     else:
-        result = ood_scores(cfg, state.params, d_params, seed=seed,
+        result = ood_scores(cfg, _p(state, cfg), d_params, seed=seed,
                             baseline=baseline)
     MetricLogger(Path(cfg.results_dir) / cfg.name).write_json(
         "ood.json", result)

@@ -114,9 +114,12 @@ def make_train_fns(cfg: Config) -> TrainFns:
             d_opt_state = d_tx.init(d_params)
         else:
             d_params, d_opt_state = {}, ()
+        ema = (jax.tree.map(jnp.copy, params)
+               if cfg.train.ema_decay > 0.0 else {})
         return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                           opt_state=tx.init(params), d_params=d_params,
-                          d_opt_state=d_opt_state, rng=k_state)
+                          d_opt_state=d_opt_state, rng=k_state,
+                          ema_params=ema)
 
     # -- phases -------------------------------------------------------------
 
@@ -225,6 +228,11 @@ def make_train_fns(cfg: Config) -> TrainFns:
             # step would have seen) — saves one full encoder forward per
             # step. Fresh prior samples per critic step either way.
             state = run_d_phases(state, z_q=z_q)
+        if cfg.train.ema_decay > 0.0:
+            d = cfg.train.ema_decay
+            state = state.replace(ema_params=jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p,
+                state.ema_params, state.params))
         metrics["beta"] = beta
         state = state.replace(step=state.step + 1)
         return state, metrics

@@ -70,6 +70,10 @@ class TrainConfig:
     log_every: int = 100
     checkpoint_every: int = 2_000
     grad_clip_norm: float = 5.0
+    # Polyak/EMA parameter averaging (0 = off): eval/sample/export consume
+    # the averaged params when on — the EMA point is the better generative
+    # model late in training.
+    ema_decay: float = 0.0
     eval_every: int = 1_000            # periodic validation (0 = off)
     valid_fraction: float = 0.05       # carved from the train split
 

@@ -164,3 +164,46 @@ def test_n_critic_sweep_both_orderings():
             else:
                 assert np.isfinite(hist[-1]["d_loss"]), (n_critic, reuse)
                 assert 0.0 <= hist[-1]["d_acc"] <= 1.0
+
+
+def test_ema_params_recurrence_and_eval_selection():
+    """EMA follows e' = d*e + (1-d)*p exactly; eval_params picks the EMA
+    tree when on and the raw params when off."""
+    from apv_tpu.training.state import eval_params
+
+    cfg = tiny_config("mnist_vae", **{"train.ema_decay": 0.9})
+    batch = _synthetic_batch(cfg, cfg.train.batch_size)
+    fns = make_train_fns(cfg)
+    state = fns.init_fn(jax.random.PRNGKey(0))
+    # at init the EMA IS the params
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 state.ema_params, state.params)
+    step = jax.jit(fns.train_step)
+    prev_ema = state.ema_params
+    state, _ = step(state, batch)
+    expect = jax.tree.map(lambda e, p: 0.9 * e + 0.1 * p, prev_ema,
+                          state.params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-6),
+        state.ema_params, expect)
+    # EMA lags the raw params after an update
+    assert eval_params(state, cfg) is state.ema_params
+
+    cfg_off = tiny_config("mnist_vae")
+    state_off = make_train_fns(cfg_off).init_fn(jax.random.PRNGKey(0))
+    assert state_off.ema_params == {}
+    assert eval_params(state_off, cfg_off) is state_off.params
+
+
+def test_ema_checkpoint_roundtrip(tmp_path):
+    from apv_tpu.utils import checkpoint as ckpt
+
+    cfg = tiny_config("mnist_vae", **{"train.ema_decay": 0.5})
+    batch = _synthetic_batch(cfg, cfg.train.batch_size)
+    state, _ = _run_steps(cfg, 3, batch)
+    ckpt.save_checkpoint(tmp_path / "ck", jax.device_get(state), 3)
+    template = jax.eval_shape(make_train_fns(cfg).init_fn,
+                              jax.random.PRNGKey(0))
+    restored = ckpt.restore_checkpoint(tmp_path / "ck", template)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), restored.ema_params, state.ema_params)
