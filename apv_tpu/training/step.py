@@ -38,26 +38,38 @@ class TrainFns(NamedTuple):
     discriminator: Any
 
 
+def _accum(cfg: Config, tx: optax.GradientTransformation):
+    """Gradient accumulation: average grads over k micro-steps, apply the
+    inner update on the k-th (optax.MultiSteps). The inner schedules tick
+    once per real update, so _make_optimizer divides its step counts by k
+    to keep the same decay profile over cfg.train.steps micro-steps."""
+    k = cfg.train.grad_accum
+    return optax.MultiSteps(tx, every_k_schedule=k) if k > 1 else tx
+
+
 def _make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    # Schedules count optimizer updates = micro-steps / grad_accum.
+    updates_total = max(1, cfg.train.steps // cfg.train.grad_accum)
     # decay_steps includes the warmup leg; keep warmup under half the run so
     # short smoke runs (steps << lr_warmup_steps) still get a valid schedule.
-    warmup = max(1, min(cfg.train.lr_warmup_steps, cfg.train.steps // 2))
+    warmup = max(1, min(cfg.train.lr_warmup_steps // cfg.train.grad_accum,
+                        updates_total // 2))
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=cfg.train.lr,
         warmup_steps=warmup,
-        decay_steps=max(cfg.train.steps, warmup + 1),
+        decay_steps=max(updates_total, warmup + 1),
         end_value=cfg.train.lr_end_value)
-    return optax.chain(
+    return _accum(cfg, optax.chain(
         optax.clip_by_global_norm(cfg.train.grad_clip_norm),
         optax.adam(schedule),
-    )
+    ))
 
 
 def _make_d_optimizer(cfg: Config) -> optax.GradientTransformation:
-    return optax.chain(
+    return _accum(cfg, optax.chain(
         optax.clip_by_global_norm(cfg.train.grad_clip_norm),
         optax.adam(cfg.adversarial.d_lr, b1=0.5),   # b1=0.5: GAN convention
-    )
+    ))
 
 
 def prepare_batch(cfg: Config, batch: dict, key: jax.Array):

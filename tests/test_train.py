@@ -207,3 +207,39 @@ def test_ema_checkpoint_roundtrip(tmp_path):
     restored = ckpt.restore_checkpoint(tmp_path / "ck", template)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), restored.ema_params, state.ema_params)
+
+
+def test_grad_accum_applies_every_k_steps():
+    """With grad_accum=2, params are frozen on odd micro-steps and move on
+    even ones; training still improves over 50 micro-steps."""
+    cfg = tiny_config("mnist_vae", **{"train.grad_accum": 2})
+    batch = _synthetic_batch(cfg, cfg.train.batch_size)
+    fns = make_train_fns(cfg)
+    state0 = fns.init_fn(jax.random.PRNGKey(0))
+    step = jax.jit(fns.train_step)
+
+    # warmup LR starts at 0, so the first real update is a no-op: watch the
+    # SECOND update window (micro-steps 3-4). Micro-step 3 must buffer
+    # (params frozen), micro-step 4 must apply (params move).
+    states = [state0]
+    for _ in range(4):
+        s, _ = step(states[-1], batch)
+        states.append(s)
+    same = jax.tree.map(lambda a, b: np.array_equal(np.asarray(a),
+                                                    np.asarray(b)),
+                        states[3].params, states[2].params)
+    assert all(jax.tree.leaves(same)), "params moved on a buffering step"
+    moved = jax.tree.map(lambda a, b: not np.array_equal(np.asarray(a),
+                                                         np.asarray(b)),
+                         states[4].params, states[3].params)
+    assert any(jax.tree.leaves(moved)), "params did not move on k-th step"
+
+    _, hist = _run_steps(cfg, 50, batch)
+    assert hist[-1]["elbo"] > hist[0]["elbo"] + 10
+
+
+def test_grad_accum_adversarial_runs():
+    cfg = tiny_config("mnist_advprior", **{"train.grad_accum": 2})
+    batch = _synthetic_batch(cfg, cfg.train.batch_size)
+    _, hist = _run_steps(cfg, 6, batch)
+    assert np.isfinite(hist[-1]["loss"]) and np.isfinite(hist[-1]["d_loss"])
