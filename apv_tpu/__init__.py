@@ -24,7 +24,8 @@ Layer map (SURVEY.md §1):
 
 __version__ = "0.1.0"
 
-_API_NAMES = ("train", "evaluate", "sample", "ood_score", "export_artifact")
+_API_NAMES = ("train", "evaluate", "sample", "visualize", "ood_score",
+              "export_artifact")
 
 
 def __getattr__(name):

@@ -21,10 +21,17 @@ def test_full_pipeline_config1(tmp_path):
     res = apv_tpu.evaluate(cfg, k=8)
     assert res["nll_nats"] < 543.0, res
     assert 0 < res["bits_per_dim"] < 1.0
+    assert 0 <= res["active_units"] <= cfg.model.z_dim
 
-    imgs = apv_tpu.sample(cfg, n=8)
+    imgs = apv_tpu.sample(cfg, n=8, quality_n=32)
     assert imgs.shape == (8, 28, 28, 1)
     assert (tmp_path / cfg.name / "samples.png").exists()
+    assert (tmp_path / cfg.name / "sample_quality.json").exists()
+
+    apv_tpu.visualize(cfg, what="reconstruct", n=4)
+    apv_tpu.visualize(cfg, what="interpolate", n=2, steps=4)
+    assert (tmp_path / cfg.name / "reconstructions.png").exists()
+    assert (tmp_path / cfg.name / "interpolation.png").exists()
 
     ood_cfg = tiny_config("mnist_vae", tmp_dir=str(tmp_path), **{
         "data.synthetic_size": 512,
