@@ -19,16 +19,26 @@ from apv_tpu.models.conv_vae import _upsample2x
 
 
 def _make_norm(norm: str, groups: int, dtype):
-    """norm='group' -> flax GroupNorm; 'none' -> identity (norm-free
-    residual trunk — the TF1-era reference family plausibly used no norm,
-    and GroupNorm is ~15% of the measured step; RESULTS.md roofline).
+    """norm='group' -> flax GroupNorm; 'rms' -> channel-only RMSNorm;
+    'none' -> identity (norm-free residual trunk — the TF1-era reference
+    family plausibly used no norm, and GroupNorm is ~15% of the measured
+    step; RESULTS.md roofline).
+
+    'rms' exists for throughput: GroupNorm reduces over (H, W, C/G), a
+    two-pass walk over the whole activation that XLA cannot fuse into the
+    surrounding convs (measured 2.3-2.6 ms/step, RESULTS.md roofline).
+    RMSNorm reduces only over the channel axis at each spatial position —
+    one short per-row reduction XLA fuses with the adjacent elementwise
+    ops, so the activation is read once, not three times.
     Norm-free blocks scale the residual branch by 1/sqrt(2) (SkipInit-ish)
     to keep activation variance bounded with depth."""
     if norm == "group":
         return nn.GroupNorm(num_groups=groups, dtype=dtype)
+    if norm == "rms":
+        return nn.RMSNorm(dtype=dtype)
     if norm == "none":
         return lambda x: x
-    raise ValueError(f"unknown norm {norm!r} (group|none)")
+    raise ValueError(f"unknown norm {norm!r} (group|rms|none)")
 
 
 class ResBlock(nn.Module):

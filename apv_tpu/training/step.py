@@ -135,6 +135,21 @@ def make_train_fns(cfg: Config) -> TrainFns:
 
     # -- phases -------------------------------------------------------------
 
+    h_, w_, c_ = cfg.model.image_shape
+    # mean_per_dim: scale the scalar objective by 1/pixels so grad norms
+    # are O(1) and the global-norm clip only fires on genuine spikes
+    # (with 'sum', CIFAR grad norms are ~1e6 and the clip is always
+    # active — see TrainConfig.loss_reduction). Adam makes the update
+    # otherwise identical; reported metrics stay in nats.
+    if cfg.train.loss_reduction == "mean_per_dim":
+        loss_scale = 1.0 / float(h_ * w_ * c_)
+    elif cfg.train.loss_reduction == "sum":
+        loss_scale = 1.0
+    else:
+        raise ValueError(
+            f"unknown loss_reduction {cfg.train.loss_reduction!r} "
+            "(sum|mean_per_dim)")
+
     def g_phase(state: TrainState, x_in, x_target, key, beta):
         def loss_fn(params):
             recon, kl, z = L.elbo_terms(encode, decode, params, x_in,
@@ -156,7 +171,7 @@ def make_train_fns(cfg: Config) -> TrainFns:
                 elbo = elbo + adv_w * adv_term
                 aux["g_adv"] = jnp.mean(adv_term)
                 aux["z_q"] = jax.lax.stop_gradient(z)
-            loss = -jnp.mean(elbo)
+            loss = -jnp.mean(elbo) * loss_scale
             aux["elbo"] = jnp.mean(recon - kl)   # plain ELBO for reporting
             return loss, aux
 

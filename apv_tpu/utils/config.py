@@ -33,9 +33,10 @@ class ModelConfig:
     # GELU's tanh chain is measured VPU overhead; the TF1-era reference
     # family most plausibly used (Leaky)ReLU (RESULTS.md roofline).
     activation: str = "gelu"
-    # group | none (resnet only): norm-free residual trunk with 1/sqrt(2)
-    # residual scaling — GroupNorm is ~15% of the measured step and the
-    # reference's normalization is [I]-level (RESULTS.md roofline).
+    # group | rms | none (resnet only): rms = channel-only RMSNorm (fuses
+    # into neighbors, no spatial stats passes); none = norm-free trunk with
+    # 1/sqrt(2) residual scaling — GroupNorm is ~15% of the measured step
+    # and the reference's normalization is [I]-level (RESULTS.md roofline).
     norm: str = "group"
 
 
@@ -70,6 +71,16 @@ class TrainConfig:
     log_every: int = 100
     checkpoint_every: int = 2_000
     grad_clip_norm: float = 5.0
+    # sum | mean_per_dim: how the per-sample objective is reduced into the
+    # scalar loss. 'sum' (reference convention) sums log-likelihoods over
+    # pixels — raw grad norms are ~1e6 for CIFAR so the global-norm clip is
+    # ALWAYS active and training is effectively normalized-gradient descent
+    # (TODO.md loss-scale note). 'mean_per_dim' divides the objective by the
+    # pixel count: grad norms are O(1), the clip only fires on true spikes,
+    # and peak-LR semantics are meaningful for real-data tuning. Adam is
+    # scale-invariant, so the ONLY behavioral difference is clip activity.
+    # Reported metrics (elbo/recon/kl) stay in nats either way.
+    loss_reduction: str = "sum"
     # Accumulate gradients over k micro-steps before each optimizer update
     # (effective batch = k * batch_size without the activation memory).
     # cfg.train.steps still counts micro-steps; LR/β schedules are scaled

@@ -136,6 +136,7 @@ def test_activation_and_norm_knobs_train():
     batch = None
     losses = {}
     for tag, ov in (("default", {}),
+                    ("rms", {"model.norm": "rms"}),
                     ("relu_nonorm", {"model.activation": "relu",
                                      "model.norm": "none"})):
         cfg = tiny_config("cifar_advprior_resnet", **ov)
@@ -144,7 +145,33 @@ def test_activation_and_norm_knobs_train():
         _, hist = _run_steps(cfg, 3, batch)
         assert np.isfinite(hist[-1]["loss"]), tag
         losses[tag] = hist[-1]["loss"]
-    assert losses["default"] != losses["relu_nonorm"]
+    assert len(set(losses.values())) == len(losses)
+
+
+def test_loss_reduction_mean_per_dim():
+    """mean_per_dim scales the scalar loss (and hence grad norms) by
+    1/pixels while leaving the reported nats metrics unchanged; training
+    stays finite. With 'sum', the CIFAR clip is always active
+    (TrainConfig.loss_reduction)."""
+    batch = None
+    out = {}
+    for red in ("sum", "mean_per_dim"):
+        cfg = tiny_config("cifar_advprior_resnet",
+                          **{"train.loss_reduction": red})
+        if batch is None:
+            batch = _synthetic_batch(cfg, cfg.train.batch_size)
+        _, hist = _run_steps(cfg, 2, batch)
+        assert np.isfinite(hist[-1]["loss"]), red
+        out[red] = hist[0]           # step 0: identical params/batch/rng
+    pixels = float(np.prod(tiny_config("cifar_advprior_resnet")
+                           .model.image_shape))
+    assert np.isclose(out["mean_per_dim"]["loss"] * pixels,
+                      out["sum"]["loss"], rtol=1e-4)
+    assert np.isclose(out["mean_per_dim"]["grad_norm"] * pixels,
+                      out["sum"]["grad_norm"], rtol=1e-3)
+    # nats-space reporting is reduction-invariant
+    assert np.isclose(out["mean_per_dim"]["elbo"], out["sum"]["elbo"],
+                      rtol=1e-5)
 
 
 def test_n_critic_sweep_both_orderings():
