@@ -216,9 +216,14 @@ def _cifar_advprior_resnet() -> Config:
         # conv_transpose decoder: +6.6% train throughput vs nearest-upsample
         # (15.3 vs 16.3 ms/step measured on v5e; kernel 4 % stride 2 == 0
         # avoids checkerboard)
+        # norm=rms: measured faster than GroupNorm (14.69 vs 15.34 ms/step)
+        # AND better bits/dim at the 3k and 10k gates (2.582 vs 2.913,
+        # 1.391 vs 1.72 — RESULTS.md roofline §2b), so the flagship
+        # defaults to it on both axes.
         model=ModelConfig(family="resnet", z_dim=128, widths=(64, 128, 256),
                           likelihood="discretized_logistic",
-                          image_shape=(32, 32, 3), upsample="conv_transpose"),
+                          image_shape=(32, 32, 3), upsample="conv_transpose",
+                          norm="rms"),
         # label smoothing keeps D off the saturation plateau observed in
         # full-scale runs (d_loss -> 5e-4 by step 2500 without it)
         adversarial=AdversarialConfig(enabled=True, label_smoothing=0.1),

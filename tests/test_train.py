@@ -135,8 +135,8 @@ def test_activation_and_norm_knobs_train():
     default at identical seeds)."""
     batch = None
     losses = {}
-    for tag, ov in (("default", {}),
-                    ("rms", {"model.norm": "rms"}),
+    for tag, ov in (("default", {}),          # flagship default: gelu + rms
+                    ("group", {"model.norm": "group"}),
                     ("relu_nonorm", {"model.activation": "relu",
                                      "model.norm": "none"})):
         cfg = tiny_config("cifar_advprior_resnet", **ov)
