@@ -11,4 +11,5 @@ runs end-to-end.
 from apv_tpu.data.datasets import load_dataset, DATASETS  # noqa: F401
 from apv_tpu.data.preprocess import (  # noqa: F401
     static_binarize, uniform_dequantize, to_unit_interval)
-from apv_tpu.data.pipeline import Batcher, prefetch_to_device  # noqa: F401
+from apv_tpu.data.pipeline import (  # noqa: F401
+    Batcher, prefetch_to_device, stack_batches)

@@ -102,6 +102,22 @@ class Batcher:
             skip = 0
 
 
+def stack_batches(it: Iterable[dict[str, np.ndarray]],
+                  k: int) -> Iterator[dict[str, np.ndarray]]:
+    """Group k consecutive batches into one [k, B, ...] stack
+    (train.steps_per_call): the host cuts k batches, the device runs them
+    as one lax.scan dispatch. Data order is identical to the unstacked
+    stream, so resume bookkeeping (Batcher.iter_from) is unaffected."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    it = iter(it)
+    while True:
+        group = list(itertools.islice(it, k))
+        if len(group) < k:
+            return
+        yield {key: np.stack([b[key] for b in group]) for key in group[0]}
+
+
 def prefetch_to_device(it: Iterable[dict[str, np.ndarray]],
                        sharding: jax.sharding.Sharding | None = None,
                        depth: int = 2) -> Iterator[dict[str, jax.Array]]:

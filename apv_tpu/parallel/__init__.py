@@ -8,6 +8,7 @@ not built.
 """
 
 from apv_tpu.parallel.mesh import (  # noqa: F401
-    make_mesh, data_sharding, replicated, shard_batch_spec)
+    make_mesh, data_sharding, stacked_data_sharding, replicated,
+    shard_batch_spec)
 from apv_tpu.parallel.multihost import (  # noqa: F401
     initialize_from_env, local_rows, put_batch)

@@ -31,6 +31,12 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def stacked_data_sharding(mesh: Mesh) -> NamedSharding:
+    """[k, B, ...] batch stacks (train.steps_per_call): the scan axis is
+    replicated in time, the batch axis (1) sharded over the data axis."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     """Fully replicated (params, optimizer state, scalars)."""
     return NamedSharding(mesh, P())

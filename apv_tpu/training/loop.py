@@ -15,8 +15,10 @@ from pathlib import Path
 import jax
 import numpy as np
 
-from apv_tpu.data import Batcher, load_dataset, prefetch_to_device, static_binarize
-from apv_tpu.parallel import data_sharding, make_mesh, replicated
+from apv_tpu.data import (Batcher, load_dataset, prefetch_to_device,
+                          stack_batches, static_binarize)
+from apv_tpu.parallel import (data_sharding, make_mesh, replicated,
+                              stacked_data_sharding)
 from apv_tpu.training.state import TrainState
 from apv_tpu.training.step import make_train_fns
 from apv_tpu.utils import checkpoint as ckpt
@@ -66,7 +68,17 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
             state = jax.device_put(state, replicated(mesh))
             start = int(state.step)
 
-    step_fn = jax.jit(fns.train_step, donate_argnums=0)
+    k = cfg.train.steps_per_call
+    if k > 1:
+        for nm, v in (("steps", cfg.train.steps),
+                      ("eval_every", cfg.train.eval_every),
+                      ("checkpoint_every", cfg.train.checkpoint_every)):
+            if v > 0 and v % k:
+                raise ValueError(
+                    f"train.{nm}={v} must be a multiple of "
+                    f"train.steps_per_call={k}")
+    step_fn = jax.jit(fns.multi_step if k > 1 else fns.train_step,
+                      donate_argnums=0)
     eval_fn = jax.jit(fns.eval_step)
 
     if arrays is not None:
@@ -77,8 +89,13 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
                   if jax.process_count() > 1 else None)
     batcher = Batcher(train_arrays, cfg.train.batch_size, seed=cfg.train.seed,
                       host_shard=host_shard)
-    batches = prefetch_to_device(batcher.iter_from(start),
-                                 data_sharding(mesh))
+    if k > 1:
+        batches = prefetch_to_device(
+            stack_batches(batcher.iter_from(start), k),
+            stacked_data_sharding(mesh))
+    else:
+        batches = prefetch_to_device(batcher.iter_from(start),
+                                     data_sharding(mesh))
 
     valid_batches = None
     if valid_arrays is not None:
@@ -108,13 +125,25 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
     best_valid_elbo = -float("inf")
     stop = cfg.train.steps if max_steps is None else min(
         start + max_steps, cfg.train.steps)
+    if k > 1 and (stop - start) % k:
+        raise ValueError(f"cannot run {stop - start} steps in calls of "
+                         f"steps_per_call={k}")
     step = start
     try:
         with mesh:
-            for step in range(start, stop):
-                logger.maybe_trace(step)
+            for base in range(start, stop, k):
+                logger.maybe_trace(base, stride=k)
                 state, metrics = step_fn(state, next(batches))
-                logger.log(step, metrics)
+                if k == 1:
+                    logger.log(base, metrics)
+                else:
+                    # metrics carry a leading scan axis; slice lazily only
+                    # at log steps so off-step calls stay host-sync-free.
+                    for i in range(k):
+                        if (base + i) % cfg.train.log_every == 0:
+                            logger.log(base + i,
+                                       {kk: v[i] for kk, v in metrics.items()})
+                step = base + k - 1
                 if valid_batches and cfg.train.eval_every > 0 \
                         and (step + 1) % cfg.train.eval_every == 0:
                     vm = run_validation(state, step)

@@ -33,6 +33,9 @@ from apv_tpu.utils.config import Config
 class TrainFns(NamedTuple):
     init_fn: Callable[[jax.Array], TrainState]
     train_step: Callable[[TrainState, dict], tuple[TrainState, dict]]
+    # k steps per dispatch: lax.scan of train_step over a k-stacked batch
+    # (cfg.train.steps_per_call); metrics come back with a leading k axis.
+    multi_step: Callable[[TrainState, dict], tuple[TrainState, dict]]
     eval_step: Callable[[TrainState, dict], dict]
     model: Any
     discriminator: Any
@@ -264,5 +267,13 @@ def make_train_fns(cfg: Config) -> TrainFns:
         state = state.replace(step=state.step + 1)
         return state, metrics
 
+    def multi_step(state: TrainState, stacked_batch: dict):
+        """Scan ``train_step`` over a batch stack [k, B, ...] in ONE XLA
+        dispatch. The body is traced once (compile time is k-independent);
+        per-step PRNG folding/β-anneal/schedules all key off state.step, so
+        k steps here are bit-identical to k separate dispatches."""
+        return jax.lax.scan(train_step, state, stacked_batch)
+
     return TrainFns(init_fn=init_fn, train_step=train_step,
-                    eval_step=eval_step, model=model, discriminator=disc)
+                    multi_step=multi_step, eval_step=eval_step, model=model,
+                    discriminator=disc)

@@ -90,6 +90,12 @@ class TrainConfig:
     # the averaged params when on — the EMA point is the better generative
     # model late in training.
     ema_decay: float = 0.0
+    # >1: the host dispatches k training steps as ONE jitted lax.scan call
+    # over a stacked batch — amortizes per-step dispatch latency for small
+    # models whose compute time is shorter than the host round-trip (the
+    # MNIST configs; the CIFAR step is compute-bound and doesn't need it).
+    # steps / eval_every / checkpoint_every must be multiples of k.
+    steps_per_call: int = 1
     eval_every: int = 1_000            # periodic validation (0 = off)
     valid_fraction: float = 0.05       # carved from the train split
 

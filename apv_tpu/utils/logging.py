@@ -28,14 +28,22 @@ class MetricLogger:
         self._last_step = None
         self.trace_dir = trace_dir
         self.trace_steps = trace_steps
+        self._tracing = False
 
-    def maybe_trace(self, step: int) -> None:
+    def maybe_trace(self, step: int, stride: int = 1) -> None:
+        """Start/stop the profiler around trace_steps. ``stride`` is the
+        number of steps the next dispatch covers (train.steps_per_call):
+        the trace starts at the call containing trace_steps[0] and stops
+        at the first call boundary past trace_steps[1]."""
         if self.trace_dir is None:
             return
-        if step == self.trace_steps[0]:
+        if not self._tracing and step <= self.trace_steps[0] < step + stride:
             jax.profiler.start_trace(self.trace_dir)
-        elif step == self.trace_steps[1]:
+            self._tracing = True
+        elif self._tracing and step + stride > self.trace_steps[1]:
             jax.profiler.stop_trace()
+            self._tracing = False
+            self.trace_dir = None          # one-shot window
 
     def log_now(self, step: int, metrics: dict) -> None:
         """Unconditional structured log (validation results etc.)."""

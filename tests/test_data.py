@@ -112,6 +112,20 @@ def test_prefetch_preserves_order_and_count():
     assert isinstance(out[0]["x"], jax.Array)
 
 
+def test_stack_batches_order_and_remainder():
+    from apv_tpu.data import stack_batches
+    arrays = {"x": np.arange(80, dtype=np.float32)}
+    b = Batcher(arrays, 16, shuffle=False)
+    out = list(stack_batches(b.epoch(), 2))
+    # 5 batches -> 2 full stacks, trailing odd batch dropped
+    assert len(out) == 2
+    assert out[0]["x"].shape == (2, 16)
+    np.testing.assert_array_equal(out[0]["x"][1],
+                                  np.arange(16, 32, dtype=np.float32))
+    np.testing.assert_array_equal(out[1]["x"][0],
+                                  np.arange(32, 48, dtype=np.float32))
+
+
 # -- config system ----------------------------------------------------------
 
 def test_all_presets_build():

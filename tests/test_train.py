@@ -148,6 +148,59 @@ def test_activation_and_norm_knobs_train():
     assert len(set(losses.values())) == len(losses)
 
 
+def test_multi_step_equals_single_steps():
+    """One multi_step(k) dispatch must match k train_step dispatches on the
+    same batches (train.steps_per_call). Tolerance: the scan body compiles
+    as a different XLA program, so fusion order differs at ~1e-6 rel."""
+    cfg = tiny_config("mnist_advprior")
+    fns = make_train_fns(cfg)
+    b0 = _synthetic_batch(cfg, cfg.train.batch_size, seed=0)
+    b1 = _synthetic_batch(cfg, cfg.train.batch_size, seed=1)
+
+    s_ref = fns.init_fn(jax.random.PRNGKey(0))
+    step = jax.jit(fns.train_step)
+    s_ref, m0 = step(s_ref, b0)
+    s_ref, m1 = step(s_ref, b1)
+
+    s_scan = fns.init_fn(jax.random.PRNGKey(0))
+    stacked = {k: np.stack([b0[k], b1[k]]) for k in b0}
+    s_scan, ms = jax.jit(fns.multi_step)(s_scan, stacked)
+
+    assert int(s_scan.step) == int(s_ref.step) == 2
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
+        s_ref.params, s_scan.params)
+    for key in m1:
+        np.testing.assert_allclose(np.asarray(ms[key]),
+                                   [float(m0[key]), float(m1[key])],
+                                   rtol=1e-4)
+
+
+def test_train_loop_steps_per_call(tmp_path):
+    """train_loop with steps_per_call=2 matches k=1 exactly (same data
+    order, same final params); invalid multiples raise."""
+    import pytest
+    from apv_tpu.training.loop import train_loop
+
+    finals = {}
+    for k in (1, 2):
+        cfg = tiny_config("mnist_vae", tmp_dir=str(tmp_path / f"k{k}"), **{
+            "train.steps": 4, "train.steps_per_call": k,
+            "train.eval_every": 2, "train.checkpoint_every": 4,
+            # valid split must tile the 8-device mesh: 512*0.125=64 rows
+            "data.synthetic_size": 512, "train.valid_fraction": 0.125})
+        finals[k] = train_loop(cfg)
+    assert int(finals[1].step) == int(finals[2].step) == 4
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
+        finals[1].params, finals[2].params)
+
+    bad = tiny_config("mnist_vae", tmp_dir=str(tmp_path / "bad"), **{
+        "train.steps": 4, "train.steps_per_call": 3})
+    with pytest.raises(ValueError, match="multiple"):
+        train_loop(bad)
+
+
 def test_loss_reduction_mean_per_dim():
     """mean_per_dim scales the scalar loss (and hence grad norms) by
     1/pixels while leaving the reported nats metrics unchanged; training
