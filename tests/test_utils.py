@@ -27,6 +27,23 @@ def test_metric_logger_interval_and_throughput(tmp_path):
     assert isinstance(lines[1]["loss"], float)
 
 
+def test_maybe_trace_window_and_strides(tmp_path, monkeypatch):
+    """The profiler window must open/close once for stride 1 and for call
+    strides that straddle trace_steps (train.steps_per_call)."""
+    import apv_tpu.utils.logging as logging_mod
+    for stride, steps in ((1, range(0, 20)), (8, range(0, 24, 8))):
+        events = []
+        monkeypatch.setattr(logging_mod.jax.profiler, "start_trace",
+                            lambda d, _e=events: _e.append("start"))
+        monkeypatch.setattr(logging_mod.jax.profiler, "stop_trace",
+                            lambda _e=events: _e.append("stop"))
+        lg = MetricLogger(tmp_path, trace_dir=str(tmp_path),
+                          trace_steps=(10, 15))
+        for s in steps:
+            lg.maybe_trace(s, stride=stride)
+        assert events == ["start", "stop"], (stride, events)
+
+
 def test_metric_logger_log_now_unconditional(tmp_path):
     lg = MetricLogger(tmp_path, log_every=1000)
     lg.log_now(7, {"valid_elbo": -1.5})
