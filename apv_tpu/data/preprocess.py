@@ -38,16 +38,19 @@ def static_binarize(images_u8: np.ndarray, seed: int = 0) -> np.ndarray:
 
     "Static" = the binarization is fixed for the whole run (not resampled
     per epoch), matching the reference's MNIST setup (SURVEY.md §2.1).
-    Returns float32 in {0, 1}. Runs through the native C++ kernel when
-    available; the numpy path reproduces the identical bit stream.
+    Returns uint8 in {0, 1}: the host→HBM payload is 4x smaller than
+    float32 (the relay link is bandwidth-bound — RESULTS.md dispatch
+    probe) and the jitted step casts on device. Runs through the native
+    C++ kernel when available; the numpy path reproduces the identical
+    bit stream.
     """
     from apv_tpu.data import _native
     out = _native.binarize_u8(images_u8, seed)
     if out is not None:
-        return out
+        return out.astype(np.uint8)
     u = _splitmix64_uniform(images_u8.size, seed).reshape(images_u8.shape)
     return (u * np.float32(255.0)
-            < images_u8.astype(np.float32)).astype(np.float32)
+            < images_u8.astype(np.float32)).astype(np.uint8)
 
 
 def to_unit_interval(images_u8: np.ndarray) -> np.ndarray:

@@ -192,9 +192,17 @@ def config_from_dict(d: dict) -> Config:
 # The five named presets (BASELINE.json configs 1-5, SURVEY.md §0.1)
 # ---------------------------------------------------------------------------
 
+# The MNIST conv-VAE step is ~4 ms of compute behind ~15 ms of per-dispatch
+# relay/host latency: 8 steps per lax.scan dispatch takes the measured
+# in-loop rate from ~13k to ~54k img/s/chip together with the uint8
+# binarized payload (RESULTS.md dispatch probe). CIFAR stays at 1 — its
+# step is compute-bound.
+_MNIST_TRAIN = TrainConfig(steps_per_call=8)
+
+
 def _mnist_vae() -> Config:
     """Config 1: Conv-VAE on binarized MNIST, standard Gaussian prior."""
-    return Config(name="mnist_vae")
+    return Config(name="mnist_vae", train=_MNIST_TRAIN)
 
 
 def _mnist_advprior() -> Config:
@@ -210,6 +218,7 @@ def _mnist_advprior() -> Config:
     """
     return Config(
         name="mnist_advprior",
+        train=_MNIST_TRAIN,
         adversarial=AdversarialConfig(enabled=True, label_smoothing=0.1,
                                       d_lr=4e-4),
     )

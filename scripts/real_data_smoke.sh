@@ -31,9 +31,12 @@ fi
 
 run() { echo "+ apv $*"; apv "$@"; }
 
+# steps_per_call=1: smoke step counts aren't multiples of the MNIST
+# presets' production dispatch stride (8)
 common=(--set "results_dir=${RESULTS}" --set "train.steps=${STEPS}"
         --set "train.eval_every=$((STEPS / 3))"
-        --set "train.checkpoint_every=${STEPS}" "${DATA_ARGS[@]}")
+        --set "train.checkpoint_every=${STEPS}"
+        --set "train.steps_per_call=1" "${DATA_ARGS[@]}")
 if [[ -n "${SMOKE_PLATFORM:-}" ]]; then
   common+=(--platform "${SMOKE_PLATFORM}")
 fi

@@ -41,6 +41,7 @@ def tiny_config(preset: str = "mnist_vae", tmp_dir: str = "/tmp/apv_test",
         "model.z_dim=8", "model.widths=[8,16]", "model.dense=32",
         "model.blocks_per_stage=1",
         "train.batch_size=32", "train.steps=60", "train.log_every=1000",
+        "train.steps_per_call=1",   # presets default to 8 (MNIST dispatch)
         "train.checkpoint_every=100000", "train.lr=2e-3",
         "data.synthetic_size=256",
         "adversarial.d_widths=[32,32]",

@@ -66,8 +66,8 @@ def test_static_binarize():
     out1 = static_binarize(img, seed=3)
     out2 = static_binarize(img, seed=3)
     np.testing.assert_array_equal(out1, out2)        # static = fixed
-    assert out1.dtype == np.float32
-    assert set(np.unique(out1)) <= {0.0, 1.0}
+    assert out1.dtype == np.uint8     # 4x-smaller host->HBM payload
+    assert set(np.unique(out1)) <= {0, 1}
     assert out1[0, 0] == 0.0 and out1[0, 1] == 1.0   # p=0 and p=1 are exact
     # p=128/255 binarizes to either value across seeds
     vals = {float(static_binarize(img, seed=s)[0, 2]) for s in range(30)}
