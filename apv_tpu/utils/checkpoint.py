@@ -44,4 +44,23 @@ def restore_checkpoint(ckpt_dir: str | Path, template: Any,
         step = step if step is not None else mngr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
-        return mngr.restore(step, args=ocp.args.StandardRestore(abstract))
+        try:
+            return mngr.restore(step, args=ocp.args.StandardRestore(abstract))
+        except ValueError as e:
+            if "ema_params" not in str(e) or not hasattr(abstract, "replace"):
+                raise
+            # EMA on/off mismatch between checkpoint and config
+            # (train.ema_decay changed between train and eval/resume):
+            # adapt the TrainState template instead of crashing.
+            if getattr(abstract, "ema_params", None):
+                # checkpoint has no EMA shadow -> restore bare, seed the
+                # shadow from the restored params (EMA warm-starts there)
+                bare = abstract.replace(ema_params={})
+                out = mngr.restore(step, args=ocp.args.StandardRestore(bare))
+                return out.replace(ema_params=jax.tree.map(lambda x: x,
+                                                           out.params))
+            # checkpoint HAS an EMA shadow the config ignores -> restore it
+            # anyway (training/state.eval_params picks raw params when off)
+            withema = abstract.replace(ema_params=abstract.params)
+            return mngr.restore(step,
+                                args=ocp.args.StandardRestore(withema))

@@ -289,6 +289,34 @@ def test_ema_checkpoint_roundtrip(tmp_path):
         np.asarray(a), np.asarray(b)), restored.ema_params, state.ema_params)
 
 
+def test_ema_checkpoint_cross_config_restore(tmp_path):
+    """An EMA checkpoint must restore under an ema_decay=0 config (raw
+    params eval) and a bare checkpoint under an EMA config (shadow seeded
+    from params) — regression: orbax tree-mismatch crash."""
+    from apv_tpu.utils import checkpoint as ckpt
+
+    cfg_on = tiny_config("mnist_vae", **{"train.ema_decay": 0.5})
+    cfg_off = tiny_config("mnist_vae")
+    batch = _synthetic_batch(cfg_on, cfg_on.train.batch_size)
+
+    state_on, _ = _run_steps(cfg_on, 2, batch)
+    ckpt.save_checkpoint(tmp_path / "on", jax.device_get(state_on), 2)
+    t_off = jax.eval_shape(make_train_fns(cfg_off).init_fn,
+                           jax.random.PRNGKey(0))
+    got = ckpt.restore_checkpoint(tmp_path / "on", t_off)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), got.params, state_on.params)
+
+    state_off, _ = _run_steps(cfg_off, 2, batch)
+    ckpt.save_checkpoint(tmp_path / "off", jax.device_get(state_off), 2)
+    t_on = jax.eval_shape(make_train_fns(cfg_on).init_fn,
+                          jax.random.PRNGKey(0))
+    got = ckpt.restore_checkpoint(tmp_path / "off", t_on)
+    # EMA shadow warm-started from the restored params
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), got.ema_params, state_off.params)
+
+
 def test_grad_accum_applies_every_k_steps():
     """With grad_accum=2, params are frozen on odd micro-steps and move on
     even ones; training still improves over 50 micro-steps."""
