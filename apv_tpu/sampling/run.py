@@ -8,6 +8,7 @@ without MCMC, as one jitted pass.
 
 from __future__ import annotations
 
+import functools
 from pathlib import Path
 
 import jax
@@ -47,11 +48,13 @@ def decoder_pixels(out: jax.Array, key: jax.Array, likelihood: str,
     return discretized_logistic_sample(key, mean, log_scale)
 
 
-def generate_samples(model, params, key: jax.Array, n: int, z_dim: int,
-                     likelihood: str, image_channels: int, *,
-                     d_apply=None, d_params=None,
-                     mode: str = "mean") -> jax.Array:
-    """Decode n prior samples → images in [0,1], one jitted batched pass."""
+@functools.lru_cache(maxsize=32)
+def _sample_fn(model, n: int, z_dim: int, likelihood: str,
+               image_channels: int, mode: str, d_apply):
+    """Cached jitted decode pass: without the cache every generate_samples
+    call builds a fresh closure, so jit re-traces (and reloads from the
+    persistent compile cache) per call — ~475 ms of pure overhead on the
+    flagship decoder vs ~22 ms of compute (RESULTS.md sampling row)."""
 
     @jax.jit
     def _run(params, d_params, key):
@@ -60,7 +63,17 @@ def generate_samples(model, params, key: jax.Array, n: int, z_dim: int,
         out = model.apply({"params": params}, z, method="decode")
         return decoder_pixels(out, k_x, likelihood, image_channels, mode)
 
-    return _run(params, d_params, key)
+    return _run
+
+
+def generate_samples(model, params, key: jax.Array, n: int, z_dim: int,
+                     likelihood: str, image_channels: int, *,
+                     d_apply=None, d_params=None,
+                     mode: str = "mean") -> jax.Array:
+    """Decode n prior samples → images in [0,1], one jitted batched pass."""
+    fn = _sample_fn(model, n, z_dim, likelihood, image_channels, mode,
+                    d_apply)
+    return fn(params, d_params, key)
 
 
 def reconstruct_images(model, params, x_in: jax.Array, key: jax.Array,
