@@ -98,6 +98,22 @@ def test_log_partition_of_zero_discriminator():
     np.testing.assert_allclose(float(lz), 0.0, atol=1e-5)
 
 
+def test_generate_samples_jit_cached():
+    """Repeated generate_samples calls must reuse one jitted pass
+    (regression: a fresh closure per call cost ~475 ms of retrace)."""
+    from apv_tpu.sampling.run import _sample_fn, generate_samples
+    cfg = tiny_config("mnist_vae")
+    state = _init_state(cfg)
+    model = build_model(cfg.model)
+    args = (model, 4, cfg.model.z_dim, cfg.model.likelihood, 1, "mean", None)
+    assert _sample_fn(*args) is _sample_fn(*args)
+    a = generate_samples(model, state.params, jax.random.PRNGKey(0), 4,
+                         cfg.model.z_dim, cfg.model.likelihood, 1)
+    b = generate_samples(model, state.params, jax.random.PRNGKey(0), 4,
+                         cfg.model.z_dim, cfg.model.likelihood, 1)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_auroc():
     rng = np.random.default_rng(0)
     hi = rng.normal(2.0, 1.0, 500)
