@@ -83,7 +83,7 @@ def sample(config: str | Config = "mnist_vae", *,
     distances over that many samples (random-feature Fréchet distance +
     RBF-MMD²; eval/sample_quality.py) and writes sample_quality.json.
     """
-    from apv_tpu.models import LatentDiscriminator, build_model
+    from apv_tpu.models import LatentDiscriminator, build_model, d_apply_fn
     from apv_tpu.sampling import generate_samples, save_image_grid
 
     cfg = _resolve(config, overrides)
@@ -91,10 +91,10 @@ def sample(config: str | Config = "mnist_vae", *,
     model = build_model(cfg.model)
     d_apply = d_params = None
     if cfg.adversarial.enabled:
-        disc = LatentDiscriminator(tuple(cfg.adversarial.d_widths))
-
-        def d_apply(dp, z):
-            return disc.apply({"params": dp}, z)
+        # d_apply_fn gives a stable function identity so the cached jitted
+        # sampling pass is reused across calls (sampling/run._sample_fn)
+        d_apply = d_apply_fn(
+            LatentDiscriminator(tuple(cfg.adversarial.d_widths)))
         d_params = state.d_params
     images = generate_samples(model, _p(state, cfg), jax.random.PRNGKey(seed),
                               n, cfg.model.z_dim, cfg.model.likelihood,
@@ -150,6 +150,11 @@ def visualize(config: str | Config = "mnist_vae", *,
         save_image_grid(grid, path, cols=n)
         return recon
     if what == "interpolate":
+        if len(x_in) < 2 * n:
+            raise ValueError(
+                f"interpolate needs 2*n={2 * n} test images for n={n} "
+                f"pairs; the test split has {len(x_in)} — lower n or raise "
+                "data.synthetic_size / eval.max_examples")
         frames = latent_interpolate(model, _p(state, cfg), x_in[:n], x_in[n:],
                                     steps, cfg.model.likelihood,
                                     cfg.model.image_shape[2])
@@ -178,6 +183,10 @@ def export_artifact(config: str | Config = "mnist_vae", *,
         return serving.export_sampler(cfg, _p(state, cfg), d_params, out,
                                       quantize=quantize)
     if what == "scorer":
+        if quantize is not None:
+            raise ValueError("quantize is sampler-only: a silently "
+                             "full-precision scorer artifact would "
+                             "masquerade as quantized")
         return serving.export_scorer(cfg, _p(state, cfg), out)
     raise ValueError(f"unknown artifact {what!r} (sampler|scorer)")
 
@@ -198,7 +207,10 @@ def _load_named_model(cfg: Config, name: str):
         cfg_b = get_preset(name)
     state_b = _restore_state(cfg_b)
     d_params_b = state_b.d_params if cfg_b.adversarial.enabled else None
-    return cfg_b, state_b.params, d_params_b
+    # _p honours the named model's own train.ema_decay — scoring its raw
+    # params while the primary model is scored with its Polyak average
+    # would bias two-model ratios for EMA-trained checkpoints
+    return cfg_b, _p(state_b, cfg_b), d_params_b
 
 
 def ood_score(config: str | Config = "ood_suite", *,

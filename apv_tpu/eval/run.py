@@ -101,6 +101,13 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
     the learned prior p*(z) ∝ p0(z)·e^{D(z)} is scored with an MC-estimated
     log-partition so the NLL is a proper (estimated) likelihood.
     """
+    if jax.process_count() > 1:
+        # The eval Batcher has no host_shard plumbing (only the train loop
+        # does): under jax.distributed every process would contribute the
+        # FULL batch and silently duplicate every example. Fail loudly.
+        raise NotImplementedError(
+            "multi-host evaluate is not wired; run eval single-host "
+            "(train --distributed is the supported multi-host path)")
     mesh = mesh if mesh is not None else make_mesh()
     k = k if k is not None else cfg.eval.iwae_k
     chunk = chunk if chunk is not None else min(cfg.eval.iwae_chunk, k)

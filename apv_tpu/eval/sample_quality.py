@@ -116,7 +116,7 @@ def sample_quality(cfg, params, d_params=None, *, n: int = 2048,
     actual pixel distribution; 'mean' scores the de-noised decoder output).
     """
     from apv_tpu.eval.run import eval_arrays
-    from apv_tpu.models import LatentDiscriminator, build_model
+    from apv_tpu.models import LatentDiscriminator, build_model, d_apply_fn
     from apv_tpu.parallel import make_mesh, replicated
     from apv_tpu.sampling import generate_samples
 
@@ -124,13 +124,14 @@ def sample_quality(cfg, params, d_params=None, *, n: int = 2048,
     model = build_model(cfg.model)
     d_apply = None
     if cfg.adversarial.enabled and d_params is not None:
-        disc = LatentDiscriminator(tuple(cfg.adversarial.d_widths))
-
-        def d_apply(dp, z):
-            return disc.apply({"params": dp}, z)
+        d_apply = d_apply_fn(
+            LatentDiscriminator(tuple(cfg.adversarial.d_widths)))
 
     real = eval_arrays(cfg, None, max_examples=n)["image"]
-    if real.dtype == np.uint8:
+    # Binarized configs store uint8 {0,1} (static_binarize's compact
+    # host->HBM payload) — those are already pixel values, NOT 0-255
+    # levels; only continuous uint8 data gets the /255 level scaling.
+    if real.dtype == np.uint8 and not cfg.data.binarize:
         real = real.astype(np.float32) / 255.0
     real = np.asarray(real, np.float32)
     n = min(n, len(real))

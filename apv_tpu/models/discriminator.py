@@ -9,10 +9,25 @@ density-ratio estimate that wants precision).
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=32)
+def d_apply_fn(disc: "LatentDiscriminator"):
+    """Stable ``f(d_params, z) -> logits`` for a given discriminator config.
+
+    Callers that close over ``disc.apply`` ad hoc create a fresh function
+    object per call, which defeats downstream jit caches keyed on function
+    identity (sampling/run._sample_fn) — one retrace per invocation. The
+    module is a frozen dataclass, so caching on it gives one function per
+    architecture."""
+    def f(d_params, z):
+        return disc.apply({"params": d_params}, z)
+    return f
 
 
 class LatentDiscriminator(nn.Module):

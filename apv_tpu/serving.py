@@ -43,11 +43,10 @@ def _sampler_fn(cfg: Config, params, d_params):
         else:
             z = sample_prior(key, cfg.eval.batch_size, cfg.model.z_dim)
         out = model.apply({"params": params}, z, method="decode")
-        lik = decoder_output_to_likelihood_params(
-            out, cfg.model.likelihood, cfg.model.image_shape[2])
-        if cfg.model.likelihood == "bernoulli":
-            return jax.nn.sigmoid(lik[0])
-        return jnp.clip(lik[0], 0.0, 1.0)
+        # single source of truth for likelihood->pixels (sampling/run.py)
+        from apv_tpu.sampling.run import decoder_pixels
+        return decoder_pixels(out, key, cfg.model.likelihood,
+                              cfg.model.image_shape[2], "mean")
 
     return fn
 

@@ -107,6 +107,14 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
         vb = Batcher(valid_arrays, vbs, shuffle=False, host_shard=host_shard)
         shard = data_sharding(mesh)
         valid_batches = [put_batch(b, shard) for b in vb.epoch()]
+        if not valid_batches:
+            # drop-remainder Batcher with vbs > len(valid): validation (and
+            # best-checkpoint tracking) would silently never run
+            print(f"warning: validation disabled — valid split "
+                  f"({len(valid_arrays['image'])} rows) smaller than the "
+                  f"validation batch ({vbs}); shrink train.batch_size or "
+                  f"raise train.valid_fraction", flush=True)
+            valid_batches = None
 
     logger = MetricLogger(results_dir, log_every=cfg.train.log_every,
                           batch_size=cfg.train.batch_size,

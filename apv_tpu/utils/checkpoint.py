@@ -57,7 +57,11 @@ def restore_checkpoint(ckpt_dir: str | Path, template: Any,
                 # shadow from the restored params (EMA warm-starts there)
                 bare = abstract.replace(ema_params={})
                 out = mngr.restore(step, args=ocp.args.StandardRestore(bare))
-                return out.replace(ema_params=jax.tree.map(lambda x: x,
+                # jnp.copy, NOT identity: aliased leaves would be donated
+                # twice by jit(train_step, donate_argnums=0) on --resume
+                # (init_fn copies for the same reason)
+                import jax.numpy as jnp
+                return out.replace(ema_params=jax.tree.map(jnp.copy,
                                                            out.params))
             # checkpoint HAS an EMA shadow the config ignores -> restore it
             # anyway (training/state.eval_params picks raw params when off)
