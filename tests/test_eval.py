@@ -304,3 +304,17 @@ def test_sir_prior_sampling():
     z = sample_prior(jax.random.PRNGKey(1), 2000, 2, d_apply=d_apply,
                      d_params=d_params, pool_factor=32)
     assert float(jnp.mean((z[:, 0] > 0).astype(jnp.float32))) > 0.85
+
+
+def test_visualize_interpolate_needs_2n(tmp_path):
+    """visualize(what='interpolate') raises a clear error when the test
+    split is smaller than 2n (regression: opaque jit broadcast error)."""
+    import pytest
+    import apv_tpu
+
+    cfg = tiny_config("mnist_vae", tmp_dir=str(tmp_path), **{
+        "train.steps": 1, "train.eval_every": 0, "train.batch_size": 8,
+        "train.checkpoint_every": 1, "data.synthetic_size": 12})
+    apv_tpu.train(cfg)
+    with pytest.raises(ValueError, match="2\\*n"):
+        apv_tpu.visualize(cfg, what="interpolate", n=8, steps=2)

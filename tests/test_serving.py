@@ -122,3 +122,17 @@ def test_scorer_export_matches_inprocess(tmp_path):
     want = np.asarray(serving._scorer_fn(cfg, state.params)(
         jnp.asarray(x), jnp.int32(3)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_export_scorer_rejects_quantize(tmp_path):
+    """api.export_artifact must error on quantize for scorers instead of
+    silently shipping a full-precision artifact."""
+    import pytest
+    import apv_tpu
+
+    cfg = tiny_config("mnist_vae", tmp_dir=str(tmp_path), **{
+        "train.steps": 1, "train.eval_every": 0,
+        "train.checkpoint_every": 1, "data.synthetic_size": 64})
+    apv_tpu.train(cfg)
+    with pytest.raises(ValueError, match="sampler-only"):
+        apv_tpu.export_artifact(cfg, what="scorer", quantize="int8")
