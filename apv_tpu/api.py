@@ -20,6 +20,44 @@ def _resolve(config: str | Config, overrides: list[str] | None) -> Config:
     return apply_overrides(cfg, overrides or [])
 
 
+def _saved_config(cfg: Config, checkpoint_dir: str | None = None):
+    """The config.json saved next to the checkpoint this cfg points at
+    (None if absent). Handles legacy double-encoded files."""
+    from apv_tpu.utils.config import config_from_dict
+
+    if checkpoint_dir is not None:
+        cfg_path = Path(checkpoint_dir).parent / "config.json"
+    else:
+        owner = cfg.checkpoint_of or cfg.name
+        cfg_path = Path(cfg.results_dir) / owner / "config.json"
+    if not cfg_path.exists():
+        return None
+    d = json.loads(cfg_path.read_text())
+    if isinstance(d, str):              # legacy double-encoded config.json
+        d = json.loads(d)
+    return config_from_dict(d)
+
+
+def _adopt_checkpoint_arch(cfg: Config, overrides: list[str] | None,
+                           checkpoint_dir: str | None = None) -> Config:
+    """Snap architecture-defining sections to the checkpoint's own saved
+    config (round-2 advisor: a preset whose default moved — e.g. norm
+    group→rms — must not build a mismatched restore template for an older
+    checkpoint). Explicit CLI overrides are re-applied afterwards, so the
+    user can still force a section knowingly."""
+    import dataclasses
+
+    saved = _saved_config(cfg, checkpoint_dir)
+    if saved is None:
+        return cfg
+    cfg = dataclasses.replace(cfg, model=saved.model,
+                              adversarial=saved.adversarial,
+                              train=dataclasses.replace(
+                                  cfg.train, ema_decay=saved.train.ema_decay,
+                                  seed=saved.train.seed))
+    return apply_overrides(cfg, overrides or [])
+
+
 def _restore_state(cfg: Config, checkpoint_dir: str | None = None):
     from apv_tpu.training.step import make_train_fns
     from apv_tpu.utils import checkpoint as ckpt
@@ -53,19 +91,27 @@ def train(config: str | Config = "mnist_vae", *,
 def evaluate(config: str | Config = "iwae_eval", *,
              overrides: list[str] | None = None,
              checkpoint_dir: str | None = None, dataset: str | None = None,
-             k: int | None = None, per_sample: bool = False) -> dict:
-    """IWAE-k test NLL + bits/dim for a trained checkpoint."""
+             k: int | None = None, per_sample: bool = False,
+             activity: bool = True) -> dict:
+    """IWAE-k test NLL + bits/dim for a trained checkpoint.
+
+    ``activity=False`` skips the active-units diagnostic (a second full
+    encoder pass over the test split) — for sweeps that only need NLL.
+    """
     from apv_tpu.eval.run import evaluate_nll, posterior_activity
     from apv_tpu.utils.logging import MetricLogger
 
-    cfg = _resolve(config, overrides)
+    cfg = _adopt_checkpoint_arch(_resolve(config, overrides), overrides,
+                                 checkpoint_dir)
     state = _restore_state(cfg, checkpoint_dir)
     result = evaluate_nll(cfg, _p(state, cfg),
                           state.d_params if cfg.adversarial.enabled else None,
                           dataset=dataset, k=k, per_sample=per_sample)
-    # Posterior-collapse diagnostic (one cheap encoder pass next to the
-    # IWAE-k sweep): active units per the IWAE paper's Cov_x(E_q[z]) test.
-    result.update(posterior_activity(cfg, _p(state, cfg), dataset=dataset))
+    if activity:
+        # Posterior-collapse diagnostic (one cheap encoder pass next to the
+        # IWAE-k sweep): active units per the IWAE paper's Cov_x(E_q[z]) test.
+        result.update(posterior_activity(cfg, _p(state, cfg),
+                                         dataset=dataset))
     out = {k_: v for k_, v in result.items() if k_ != "per_sample"}
     MetricLogger(Path(cfg.results_dir) / cfg.name).write_json(
         "eval.json", out)
@@ -86,7 +132,8 @@ def sample(config: str | Config = "mnist_vae", *,
     from apv_tpu.models import LatentDiscriminator, build_model, d_apply_fn
     from apv_tpu.sampling import generate_samples, save_image_grid
 
-    cfg = _resolve(config, overrides)
+    cfg = _adopt_checkpoint_arch(_resolve(config, overrides), overrides,
+                                 checkpoint_dir)
     state = _restore_state(cfg, checkpoint_dir)
     model = build_model(cfg.model)
     d_apply = d_params = None
@@ -132,7 +179,8 @@ def visualize(config: str | Config = "mnist_vae", *,
     from apv_tpu.sampling import (latent_interpolate, reconstruct_images,
                                   save_image_grid)
 
-    cfg = _resolve(config, overrides)
+    cfg = _adopt_checkpoint_arch(_resolve(config, overrides), overrides,
+                                 checkpoint_dir)
     state = _restore_state(cfg, checkpoint_dir)
     model = build_model(cfg.model)
     need = n if what == "reconstruct" else 2 * n
@@ -175,7 +223,8 @@ def export_artifact(config: str | Config = "mnist_vae", *,
     """AOT-export a serving artifact (StableHLO, params baked in)."""
     from apv_tpu import serving
 
-    cfg = _resolve(config, overrides)
+    cfg = _adopt_checkpoint_arch(_resolve(config, overrides), overrides,
+                                 checkpoint_dir)
     state = _restore_state(cfg, checkpoint_dir)
     out = out_path or (Path(cfg.results_dir) / cfg.name / f"{what}.stablehlo")
     if what == "sampler":
@@ -226,7 +275,8 @@ def ood_score(config: str | Config = "ood_suite", *,
     from apv_tpu.eval.ood import ood_both, ood_scores
     from apv_tpu.utils.logging import MetricLogger
 
-    cfg = _resolve(config, overrides)
+    cfg = _adopt_checkpoint_arch(_resolve(config, overrides), overrides,
+                                 checkpoint_dir)
     state = _restore_state(cfg, checkpoint_dir)
     d_params = state.d_params if cfg.adversarial.enabled else None
     baseline = (None if cfg.ood.baseline_of is None

@@ -53,6 +53,35 @@ def static_binarize(images_u8: np.ndarray, seed: int = 0) -> np.ndarray:
             < images_u8.astype(np.float32)).astype(np.uint8)
 
 
+def pack_bits(images01: np.ndarray) -> np.ndarray:
+    """{0,1} images [N, H, W, C] → bit-packed [N, ceil(H·W·C/8)] uint8.
+
+    8 pixels per byte, little-endian within each byte (bit i of byte j is
+    pixel 8j+i) — the exact inverse of ``unpack_bits``. The host→HBM link
+    is the measured bottleneck for the MNIST configs (~50 MB/s relay,
+    RESULTS.md dispatch table); binarized pixels carry 1 bit of information,
+    so shipping uint8 {0,1} wastes 8× the binding resource. Packing is
+    lossless: packed and unpacked training are bit-identical
+    (tests/test_data.py)."""
+    n = images01.shape[0]
+    flat = np.ascontiguousarray(images01.reshape(n, -1)).astype(np.uint8)
+    return np.packbits(flat, axis=1, bitorder="little")
+
+
+def unpack_bits(packed: jax.Array,
+                image_shape: tuple[int, int, int]) -> jax.Array:
+    """Device-side inverse of ``pack_bits``: [..., nbytes] uint8 →
+    [..., H, W, C] float32 {0,1}. Runs inside the jitted step, so the
+    bit-expand fuses with the cast feeding the first conv."""
+    h, w, c = image_shape
+    p = h * w * c
+    bits = (packed[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
+    flat = bits.reshape(packed.shape[:-1] + (packed.shape[-1] * 8,))
+    return (flat[..., :p]
+            .reshape(packed.shape[:-1] + (h, w, c))
+            .astype(jnp.float32))
+
+
 def to_unit_interval(images_u8: np.ndarray) -> np.ndarray:
     """uint8 levels -> bin centers i/255 in [0,1] (discretized-logistic grid)."""
     return images_u8.astype(np.float32) / 255.0

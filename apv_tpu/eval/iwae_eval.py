@@ -78,19 +78,32 @@ def make_iwae_fn(model, likelihood: str, k: int, chunk: int,
 
 def estimate_log_partition(d_apply: Callable, d_params: Any, z_dim: int,
                            key: jax.Array, n: int = 100_000,
-                           batch: int = 10_000) -> jax.Array:
-    """log Z = log E_{z~N(0,I)}[e^{D(z)}], streamed logsumexp over n draws."""
+                           batch: int = 5_000, with_se: bool = False):
+    """log Z = log E_{z~N(0,I)}[e^{D(z)}], streamed logsumexp over n draws.
+
+    ``with_se=True`` additionally returns a delete-one-chunk jackknife
+    standard error over the n/batch MC chunks (VERDICT r2 weak-6: a point
+    estimate of log Z gives the learned-prior NLL no error bar — nobody can
+    tell whether a 0.002 bits/dim gap is signal or log-Z noise).
+    """
     if n % batch != 0:
         raise ValueError(f"n={n} must be divisible by batch={batch}")
     keys = jax.random.split(key, n // batch)
 
-    def body(carry, k):
-        m, acc = carry
+    def body(_, k):
         logits = d_apply(d_params, jax.random.normal(k, (batch, z_dim)))
-        new_m = jnp.maximum(m, jnp.max(logits))
-        acc = acc * jnp.exp(m - new_m) + jnp.sum(jnp.exp(logits - new_m))
-        return (new_m, acc), None
+        return None, jax.scipy.special.logsumexp(logits)
 
-    (m, acc), _ = jax.lax.scan(body, (jnp.float32(-jnp.inf), jnp.float32(0.0)),
-                               keys)
-    return m + jnp.log(acc) - jnp.log(float(n))
+    _, chunk_lse = jax.lax.scan(body, None, keys)     # [B] per-chunk lse
+    total = jax.scipy.special.logsumexp(chunk_lse)
+    log_z = total - jnp.log(float(n))
+    if not with_se:
+        return log_z
+    # Jackknife: log Z with chunk i deleted, stable leave-one-out logsumexp
+    # log(e^total - e^{L_i}) = total + log1p(-e^{L_i - total}).
+    nb = chunk_lse.shape[0]
+    loo = total + jnp.log1p(-jnp.exp(chunk_lse - total))
+    logz_loo = loo - jnp.log(float(n - batch))
+    se = jnp.sqrt((nb - 1) / nb
+                  * jnp.sum((logz_loo - jnp.mean(logz_loo)) ** 2))
+    return log_z, se

@@ -6,7 +6,7 @@ sees centered bin centers, the likelihood scores the discrete levels.
 
 from __future__ import annotations
 
-import math
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +52,37 @@ def _prep_eval_batch(cfg: Config, image):
     return normalize_center(levels), levels
 
 
+def _host_shard() -> tuple[int, int] | None:
+    """Batcher host_shard spec under jax.distributed; None single-process."""
+    if jax.process_count() == 1:
+        return None
+    return (jax.process_index(), jax.process_count())
+
+
+def _local_rows(arr: jax.Array) -> np.ndarray:
+    """This process's rows of a first-axis-sharded global array, in global
+    row order (single process: all rows — identical to np.asarray)."""
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
+def _assemble_global(per_batch_local: list[np.ndarray],
+                     pcount: int) -> np.ndarray:
+    """Per-batch local score rows -> the full test-set score vector.
+
+    Each process contributes its contiguous row block of every batch
+    (Batcher host_shard); ``process_allgather`` stacks process-major, so
+    the [P, n_batches, per] gather transposes back to batch-major global
+    order before flattening."""
+    local = np.stack(per_batch_local)                 # [n_batches, per]
+    if pcount == 1:
+        return local.reshape(-1)
+    from jax.experimental import multihost_utils
+    gathered = np.asarray(multihost_utils.process_allgather(local))
+    return gathered.transpose(1, 0, 2).reshape(-1)
+
+
 def posterior_activity(cfg: Config, params, *, mesh=None,
                        dataset: str | None = None,
                        max_examples: int | None = None,
@@ -59,7 +90,8 @@ def posterior_activity(cfg: Config, params, *, mesh=None,
                        batch_size: int | None = None) -> dict:
     """Active latent units over the test set (IWAE paper §5.1 diagnostic:
     A_u = Cov_x(E_q[z_u]) > threshold) — a posterior-collapse report to go
-    with the config-4 NLL numbers. One jitted encoder pass, streamed."""
+    with the config-4 NLL numbers. One jitted encoder pass, streamed
+    through the same host→HBM prefetch queue as the NLL loop."""
     mesh = mesh if mesh is not None else make_mesh()
     model = build_model(cfg.model)
     encode = jax.jit(
@@ -68,16 +100,26 @@ def posterior_activity(cfg: Config, params, *, mesh=None,
     arrays = eval_arrays(cfg, dataset, max_examples or cfg.eval.max_examples)
     batch_size = batch_size if batch_size is not None else cfg.eval.batch_size
     batcher = Batcher(arrays, min(batch_size, len(arrays["image"])),
-                      shuffle=False)
+                      shuffle=False, host_shard=_host_shard())
     params = jax.device_put(params, replicated(mesh))
+    pcount = jax.process_count()
+
+    def prepped():
+        for batch in batcher.epoch():
+            yield {"x_in": _prep_eval_batch(cfg, batch["image"])[0]}
 
     def mean_batches():
         with mesh:
-            for batch in batcher.epoch():
-                x_in, _ = _prep_eval_batch(cfg, batch["image"])
-                mean, _ = encode(params, jax.device_put(
-                    x_in, data_sharding(mesh)))
-                yield np.asarray(mean)
+            for b in prefetch_to_device(prepped(), data_sharding(mesh)):
+                mean, _ = encode(params, b["x_in"])
+                # Cov_x is over the FULL test set: under jax.distributed
+                # every process needs every row's posterior mean.
+                if pcount == 1:
+                    yield np.asarray(mean)
+                else:
+                    from jax.experimental import multihost_utils
+                    yield np.asarray(multihost_utils.process_allgather(
+                        _local_rows(mean))).reshape(-1, mean.shape[-1])
 
     count, var = active_units(mean_batches(), threshold=threshold)
     return {
@@ -101,33 +143,47 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
     the learned prior p*(z) ∝ p0(z)·e^{D(z)} is scored with an MC-estimated
     log-partition so the NLL is a proper (estimated) likelihood.
     """
-    if jax.process_count() > 1:
-        # The eval Batcher has no host_shard plumbing (only the train loop
-        # does): under jax.distributed every process would contribute the
-        # FULL batch and silently duplicate every example. Fail loudly.
+    if cfg.eval.k_shards > 1 and mesh is not None:
+        # The k-sharded path builds its own 2-D (data, k) mesh below; a
+        # caller-provided mesh would be silently discarded — reject it.
+        raise ValueError(
+            "evaluate_nll cannot honor an explicit mesh with "
+            f"eval.k_shards={cfg.eval.k_shards} > 1: the k-sharded IWAE "
+            "builds its own 2-D (data, k) mesh. Pass mesh=None or set "
+            "eval.k_shards=1.")
+    if cfg.eval.k_shards > 1 and jax.process_count() > 1:
         raise NotImplementedError(
-            "multi-host evaluate is not wired; run eval single-host "
-            "(train --distributed is the supported multi-host path)")
+            "k-sharded eval is single-host only; multi-host eval runs with "
+            "eval.k_shards=1 (batch-axis sharding over all chips)")
     mesh = mesh if mesh is not None else make_mesh()
     k = k if k is not None else cfg.eval.iwae_k
     chunk = chunk if chunk is not None else min(cfg.eval.iwae_chunk, k)
     if k % chunk != 0:
-        chunk = math.gcd(k, chunk)
+        # Largest divisor of k that fits: gcd can cliff to a tiny chunk
+        # (k=1000, chunk=48 -> gcd 8, a 6x longer scan for no reason).
+        eff = max(d for d in range(1, min(chunk, k) + 1) if k % d == 0)
+        warnings.warn(
+            f"iwae chunk {chunk} does not divide k={k}; using chunk={eff} "
+            "(largest divisor). Pick a divisor of k to silence this.",
+            stacklevel=2)
+        chunk = eff
     use_adv = (cfg.adversarial.enabled if use_adversarial_prior is None
                else use_adversarial_prior)
 
     model = build_model(cfg.model)
     d_apply = None
     log_z = jnp.float32(0.0)
+    log_z_se = 0.0
     if use_adv:
         disc = LatentDiscriminator(tuple(cfg.adversarial.d_widths))
 
         def d_apply(dp, z):
             return disc.apply({"params": dp}, z)
 
-        log_z = jax.jit(lambda dp, key: estimate_log_partition(
-            d_apply, dp, cfg.model.z_dim, key))(
+        log_z, log_z_se = jax.jit(lambda dp, key: estimate_log_partition(
+            d_apply, dp, cfg.model.z_dim, key, with_se=True))(
                 d_params, jax.random.PRNGKey(seed + 17))
+        log_z_se = float(log_z_se)
 
     if cfg.eval.k_shards > 1:
         from apv_tpu.eval.sharded import make_mesh_2d, make_sharded_iwae_fn
@@ -145,8 +201,11 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
     arrays = eval_arrays(cfg, dataset,
                          max_examples or cfg.eval.max_examples)
     batch_size = batch_size if batch_size is not None else cfg.eval.batch_size
+    # Under jax.distributed each process cuts only its row block of every
+    # global batch; prefetch_to_device assembles the global sharded array
+    # (multihost.put_batch) exactly as the train loop does.
     batcher = Batcher(arrays, min(batch_size, len(arrays["image"])),
-                      shuffle=False)
+                      shuffle=False, host_shard=_host_shard())
     shard = data_sharding(mesh)
     rep = replicated(mesh)
     params = jax.device_put(params, rep)
@@ -161,13 +220,14 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
             x_in, x_target = _prep_eval_batch(cfg, batch["image"])
             yield {"x_in": x_in, "x_target": x_target}
 
+    pcount = jax.process_count()
     scores = []
     with mesh:
         for i, b in enumerate(prefetch_to_device(prepped(), shard)):
             ll = jit_iwae(params, d_params, b["x_in"], b["x_target"],
                           jax.random.PRNGKey(seed + i), log_z)
-            scores.append(np.asarray(ll))
-    scores = np.concatenate(scores)
+            scores.append(np.asarray(ll) if pcount == 1 else _local_rows(ll))
+    scores = _assemble_global(scores, pcount)
 
     h, w, c = cfg.model.image_shape
     nll = float(-scores.mean())
@@ -177,6 +237,9 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
         "iwae_k": k,
         "num_examples": int(scores.shape[0]),
         "log_partition": float(log_z),
+        # jackknife SE of the MC log-partition estimate: the NLL error bar
+        # contributed by log Z (bits/dim moves by se/(D·ln2) per 1σ)
+        "log_partition_se": log_z_se,
         "adversarial_prior": bool(use_adv),
     }
     if per_sample:

@@ -34,18 +34,22 @@ def _sampler_fn(cfg: Config, params, d_params):
 
     def fn(seed: jax.Array) -> jax.Array:
         """seed int32[] -> images [n, H, W, C] in [0,1]."""
-        key = jax.random.PRNGKey(seed)
+        # Distinct keys for the latent draw and the pixel noise (mirrors
+        # sampling/run._sample_fn): reusing one key correlates the prior
+        # sample with the pixel-likelihood sample the moment an artifact
+        # is exported with mode="sample".
+        k_z, k_x = jax.random.split(jax.random.PRNGKey(seed))
         if use_adv:
-            z = sample_prior(key, cfg.eval.batch_size, cfg.model.z_dim,
+            z = sample_prior(k_z, cfg.eval.batch_size, cfg.model.z_dim,
                              d_apply=lambda dp, zz: disc.apply(
                                  {"params": dp}, zz),
                              d_params=d_params)
         else:
-            z = sample_prior(key, cfg.eval.batch_size, cfg.model.z_dim)
+            z = sample_prior(k_z, cfg.eval.batch_size, cfg.model.z_dim)
         out = model.apply({"params": params}, z, method="decode")
         # single source of truth for likelihood->pixels (sampling/run.py)
         from apv_tpu.sampling.run import decoder_pixels
-        return decoder_pixels(out, key, cfg.model.likelihood,
+        return decoder_pixels(out, k_x, cfg.model.likelihood,
                               cfg.model.image_shape[2], "mean")
 
     return fn

@@ -17,6 +17,7 @@ import numpy as np
 
 from apv_tpu.data import (Batcher, load_dataset, prefetch_to_device,
                           stack_batches, static_binarize)
+from apv_tpu.data.preprocess import pack_bits
 from apv_tpu.parallel import (data_sharding, make_mesh, replicated,
                               stacked_data_sharding)
 from apv_tpu.training.state import TrainState
@@ -33,13 +34,20 @@ def load_train_arrays(cfg: Config) -> tuple[dict[str, np.ndarray],
     images, _ = load_dataset(cfg.data.dataset, "train",
                              data_dir=cfg.data.data_dir,
                              synthetic_size=cfg.data.synthetic_size)
+    key = "image"
     if cfg.data.binarize:
         images = static_binarize(images, seed=cfg.train.seed)
+        if cfg.data.bit_pack:
+            # 8 px/byte host→HBM payload; the jitted step unpacks on device
+            # (prepare_batch) — lossless, and the transfer axis is the
+            # measured MNIST bottleneck (RESULTS.md dispatch table).
+            images = pack_bits(images)
+            key = "image_packed"
     # dequantization happens inside the jitted step (fresh noise per epoch)
     n_valid = int(len(images) * cfg.train.valid_fraction)
     if cfg.train.eval_every <= 0 or n_valid < 1:
-        return {"image": images}, None
-    return ({"image": images[:-n_valid]}, {"image": images[-n_valid:]})
+        return {key: images}, None
+    return ({key: images[:-n_valid]}, {key: images[-n_valid:]})
 
 
 def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
@@ -100,7 +108,8 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
     valid_batches = None
     if valid_arrays is not None:
         from apv_tpu.parallel.multihost import put_batch
-        vbs = min(cfg.train.batch_size, len(valid_arrays["image"]))
+        n_valid_rows = len(next(iter(valid_arrays.values())))
+        vbs = min(cfg.train.batch_size, n_valid_rows)
         if host_shard is not None:
             # global batch must split evenly across hosts
             vbs = max(host_shard[1], (vbs // host_shard[1]) * host_shard[1])
@@ -111,7 +120,7 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
             # drop-remainder Batcher with vbs > len(valid): validation (and
             # best-checkpoint tracking) would silently never run
             print(f"warning: validation disabled — valid split "
-                  f"({len(valid_arrays['image'])} rows) smaller than the "
+                  f"({n_valid_rows} rows) smaller than the "
                   f"validation batch ({vbs}); shrink train.batch_size or "
                   f"raise train.valid_fraction", flush=True)
             valid_batches = None

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import optax
 
 from apv_tpu import ops
-from apv_tpu.data.preprocess import normalize_center, uniform_dequantize
+from apv_tpu.data.preprocess import (normalize_center, uniform_dequantize,
+                                     unpack_bits)
 from apv_tpu.models import LatentDiscriminator, build_model
 from apv_tpu.training import losses as L
 from apv_tpu.training.state import TrainState
@@ -78,10 +79,15 @@ def _make_d_optimizer(cfg: Config) -> optax.GradientTransformation:
 def prepare_batch(cfg: Config, batch: dict, key: jax.Array):
     """In-step input stage: returns (x_in, x_target).
 
+    * bit-packed binarized MNIST: ``image_packed`` is uint8 bitfield rows
+      (8 px/byte, data.bit_pack); unpacked to float {0,1} on device.
     * binarized MNIST: image is float {0,1}; input == target.
     * CIFAR: image is uint8; input = centered uniform-dequantized levels,
       target = bin centers i/255 (the discrete pmf's support).
     """
+    if "image_packed" in batch:
+        x = unpack_bits(batch["image_packed"], cfg.model.image_shape)
+        return x, x
     image = batch["image"]
     if cfg.data.dequantize:
         x_in = normalize_center(uniform_dequantize(key, image))

@@ -105,6 +105,12 @@ class DataConfig:
     dataset: str = "mnist"
     binarize: bool = True                      # static binarization (MNIST)
     dequantize: bool = False                   # uniform dequantize (CIFAR)
+    # Bit-pack binarized payloads 8 pixels/byte for the host→HBM transfer
+    # (unpacked on device inside the jitted step). The MNIST loop is
+    # transfer-bound (RESULTS.md dispatch table), so this is an 8× cut on
+    # the binding axis; lossless (packed ≡ unpacked, tested). Only
+    # effective when binarize=True.
+    bit_pack: bool = True
     data_dir: str | None = None
     synthetic_size: int | None = None          # cap fallback dataset size
 

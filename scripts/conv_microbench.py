@@ -1,0 +1,125 @@
+"""Conv microbenchmark: can ANYTHING beat XLA's conv at flagship shapes?
+(VERDICT r2 item 8: the "~60% MXU is the conv codegen ceiling" claim needs
+a measured microbenchmark verdict, even a losing one.)
+
+Three contenders per shape, forward pass, f32, best-of-5 windows with
+host-readback sync:
+  * xla_conv    — lax.conv_general_dilated (the production path)
+  * nine_dot    — same conv as 9 shifted matmuls accumulated (XLA dots on
+                  the MXU; tests whether conv→GEMM reformulation helps)
+  * pallas_conv — hand-written kernel: batch-tiled grid, the 3×3 loop of
+                  [tb·H·W, C]×[C, K] dots accumulated in VMEM
+
+Shapes are the flagship ResNet VAE's three stages (RESULTS.md roofline).
+Prints one JSON line per (shape, impl) with ms and TFLOP/s.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SHAPES = [          # (B, H, W, Cin, Cout) — flagship stages at batch 256
+    (256, 32, 32, 64, 64),
+    (256, 16, 16, 128, 128),
+    (256, 8, 8, 256, 256),
+]
+
+
+def xla_conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def nine_dot(x, w):
+    b, h, wd, c = x.shape
+    k = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = jnp.zeros((b, h, wd, k), x.dtype)
+    for ky in range(3):
+        for kx in range(3):
+            patch = xp[:, ky:ky + h, kx:kx + wd, :].reshape(-1, c)
+            out = out + (patch @ w[ky, kx]).reshape(b, h, wd, k)
+    return out
+
+
+def _pallas_kernel(x_ref, w_ref, o_ref, *, h, wd, c, k):
+    xb = x_ref[:]                                  # [tb, h+2, w+2, c]
+    tb = xb.shape[0]
+    acc = jnp.zeros((tb * h * wd, k), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            patch = xb[:, ky:ky + h, kx:kx + wd, :].reshape(tb * h * wd, c)
+            acc = acc + jnp.dot(patch, w_ref[ky, kx],
+                                preferred_element_type=jnp.float32)
+    o_ref[:] = acc.reshape(tb, h, wd, k)
+
+
+def pallas_conv(x, w, tile_b: int = 8):
+    b, h, wd, c = x.shape
+    k = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    kern = functools.partial(_pallas_kernel, h=h, wd=wd, c=c, k=k)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, h, wd, k), jnp.float32),
+        grid=(b // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, h + 2, wd + 2, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, c, k), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_b, h, wd, k), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() != "tpu",
+    )(xp, w)
+
+
+def bench(fn, x, w, *, windows=5, reps=20) -> float:
+    f = jax.jit(fn)
+    y = f(x, w)
+    float(y[0, 0, 0, 0])                 # compile + readback sync
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = f(x, w)
+        float(y[0, 0, 0, 0])
+        best = min(best, time.perf_counter() - t0)
+    return best / reps
+
+
+def main() -> None:
+    from apv_tpu.utils.compcache import enable_default_cache
+    enable_default_cache()
+    rng = np.random.default_rng(0)
+    impls = [("xla_conv", xla_conv), ("nine_dot", nine_dot),
+             ("pallas_conv", pallas_conv)]
+    for b, h, wd, cin, cout in SHAPES:
+        x = jnp.asarray(rng.normal(size=(b, h, wd, cin)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.05,
+                        jnp.float32)
+        ref = np.asarray(xla_conv(x, w))
+        flops = 2 * b * h * wd * 9 * cin * cout
+        for name, fn in impls:
+            got = np.asarray(jax.jit(fn)(x, w))
+            err = float(np.max(np.abs(got - ref)) / np.max(np.abs(ref)))
+            sec = bench(fn, x, w)
+            print(json.dumps({
+                "shape": [b, h, wd, cin, cout], "impl": name,
+                "ms": round(sec * 1e3, 3),
+                "tflops": round(flops / sec / 1e12, 2),
+                "rel_err_vs_xla": round(err, 7)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Decode samples/sec probe, best-of-5-window discipline (VERDICT r2
+item 6: the round-2 41k number was taken in a degraded relay phase with a
+single window; bench.py's windowing exists precisely for that).
+
+Measures the cached jitted batched decode (sampling/run.generate_samples)
+on the flagship ResNet decoder at n=2048, host-readback synced. Prints one
+JSON line (BASELINE.json tracked metric "decode samples/sec").
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+
+
+def main() -> None:
+    from apv_tpu.utils.compcache import enable_default_cache
+    enable_default_cache()
+    import numpy as np
+
+    from apv_tpu.models import LatentDiscriminator, build_model, d_apply_fn
+    from apv_tpu.sampling.run import generate_samples
+    from apv_tpu.training.step import make_train_fns
+    from apv_tpu.utils.config import get_preset
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    cfg = get_preset("cifar_advprior_resnet")
+    fns = make_train_fns(cfg)
+    state = jax.jit(fns.init_fn)(jax.random.PRNGKey(0))
+    d_apply = d_apply_fn(LatentDiscriminator(tuple(cfg.adversarial.d_widths)))
+
+    def run(key):
+        imgs = generate_samples(fns.model, state.params, key, n,
+                                cfg.model.z_dim, cfg.model.likelihood,
+                                cfg.model.image_shape[2], d_apply=d_apply,
+                                d_params=state.d_params, mode="mean")
+        # host readback sync (block_until_ready unreliable on the relay)
+        return float(imgs[0, 0, 0, 0])
+
+    run(jax.random.PRNGKey(0))               # compile + warmup
+    run(jax.random.PRNGKey(1))
+    reps, best = 8, float("inf")
+    for w in range(5):
+        t0 = time.perf_counter()
+        for i in range(reps):
+            run(jax.random.PRNGKey(100 + w * reps + i))
+        best = min(best, time.perf_counter() - t0)
+    per_call = best / reps
+    print(json.dumps({
+        "metric": "decode_samples_per_sec_per_chip",
+        "n": n,
+        "ms_per_batch": round(per_call * 1e3, 2),
+        "samples_per_sec": round(n / per_call, 0),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -178,3 +178,66 @@ def test_config_frozen():
     cfg = get_preset("mnist_vae")
     with pytest.raises(dataclasses.FrozenInstanceError):
         cfg.train.lr = 1.0
+
+
+# ---------------------------------------------------------------------------
+# Bit-packed binarized payloads (VERDICT r2 item 2): 8 px/byte host->HBM
+# ---------------------------------------------------------------------------
+
+def test_pack_unpack_roundtrip(rng):
+    import jax.numpy as jnp
+
+    from apv_tpu.data.preprocess import pack_bits, unpack_bits
+
+    imgs = (rng.random((10, 28, 28, 1)) < 0.5).astype(np.uint8)
+    packed = pack_bits(imgs)
+    assert packed.shape == (10, 98) and packed.dtype == np.uint8
+    un = np.asarray(unpack_bits(jnp.asarray(packed), (28, 28, 1)))
+    np.testing.assert_array_equal(un, imgs.astype(np.float32))
+
+
+def test_pack_unpack_non_multiple_of_8(rng):
+    import jax.numpy as jnp
+
+    from apv_tpu.data.preprocess import pack_bits, unpack_bits
+
+    imgs = (rng.random((4, 3, 3, 1)) < 0.5).astype(np.uint8)   # 9 px/image
+    packed = pack_bits(imgs)
+    assert packed.shape == (4, 2)           # ceil(9/8) bytes
+    un = np.asarray(unpack_bits(jnp.asarray(packed), (3, 3, 1)))
+    np.testing.assert_array_equal(un, imgs.astype(np.float32))
+
+
+def test_unpack_handles_stacked_batches(rng):
+    """steps_per_call stacks [k, B, nbytes]; unpack must keep leading axes."""
+    import jax.numpy as jnp
+
+    from apv_tpu.data.preprocess import pack_bits, unpack_bits
+
+    imgs = (rng.random((6, 28, 28, 1)) < 0.5).astype(np.uint8)
+    packed = pack_bits(imgs).reshape(2, 3, 98)
+    un = np.asarray(unpack_bits(jnp.asarray(packed), (28, 28, 1)))
+    assert un.shape == (2, 3, 28, 28, 1)
+    np.testing.assert_array_equal(un.reshape(6, 28, 28, 1),
+                                  imgs.astype(np.float32))
+
+
+def test_load_train_arrays_packs_binarized():
+    from conftest import tiny_config
+    from apv_tpu.training.loop import load_train_arrays
+
+    cfg = tiny_config("mnist_vae")     # data.bit_pack defaults on
+    train, valid = load_train_arrays(cfg)
+    assert "image_packed" in train and train["image_packed"].dtype == np.uint8
+    assert train["image_packed"].shape[1] == 98
+    cfg_off = tiny_config("mnist_vae", **{"data.bit_pack": False})
+    train_off, _ = load_train_arrays(cfg_off)
+    assert "image" in train_off
+    # packed payload is exactly the packed unpacked payload
+    from apv_tpu.data.preprocess import pack_bits
+    np.testing.assert_array_equal(
+        train["image_packed"], pack_bits(train_off["image"]))
+    # CIFAR (no binarize): untouched
+    cfg_c = tiny_config("cifar_advprior_resnet")
+    train_c, _ = load_train_arrays(cfg_c)
+    assert "image" in train_c and train_c["image"].dtype == np.uint8

@@ -318,3 +318,101 @@ def test_visualize_interpolate_needs_2n(tmp_path):
     apv_tpu.train(cfg)
     with pytest.raises(ValueError, match="2\\*n"):
         apv_tpu.visualize(cfg, what="interpolate", n=8, steps=2)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 eval plumbing edges (VERDICT r2 item 7) + log-Z error bar (item 6)
+# ---------------------------------------------------------------------------
+
+def test_iwae_chunk_non_divisor_uses_largest_divisor():
+    """k=12, chunk=9: the old gcd fallback silently picked 3 (a 4x longer
+    scan); the fix picks the largest divisor of k that fits (6) and warns
+    (eval/run.py chunk handling, VERDICT r2 item 7)."""
+    import pytest
+
+    cfg = tiny_config("mnist_vae")
+    state = _init_state(cfg)
+    with pytest.warns(UserWarning, match="largest divisor"):
+        res = evaluate_nll(cfg, state.params, k=12, chunk=9, max_examples=16)
+    assert res["iwae_k"] == 12
+    assert np.isfinite(res["nll_nats"])
+
+
+def test_evaluate_rejects_caller_mesh_with_k_shards():
+    import pytest
+
+    from apv_tpu.parallel import make_mesh
+
+    cfg = tiny_config("mnist_vae", **{"eval.k_shards": 2})
+    state = _init_state(cfg)
+    with pytest.raises(ValueError, match="k_shards"):
+        evaluate_nll(cfg, state.params, mesh=make_mesh(), k=4, chunk=2,
+                     max_examples=16)
+
+
+def test_log_partition_jackknife_se():
+    """with_se returns (log_z, se): se > 0, and the point estimate matches
+    the se-less call exactly (same chunking/keys)."""
+    disc = LatentDiscriminator((16,))
+    d_params = disc.init(jax.random.PRNGKey(0),
+                         jnp.zeros((2, 8)))["params"]
+
+    def d_apply(dp, z):
+        return disc.apply({"params": dp}, z)
+
+    key = jax.random.PRNGKey(3)
+    lz = estimate_log_partition(d_apply, d_params, 8, key, n=4000, batch=500)
+    lz2, se = estimate_log_partition(d_apply, d_params, 8, key, n=4000,
+                                     batch=500, with_se=True)
+    np.testing.assert_allclose(float(lz), float(lz2), rtol=1e-6)
+    assert float(se) > 0
+    # more samples -> tighter error bar (MC rate ~ 1/sqrt(n))
+    _, se_big = estimate_log_partition(d_apply, d_params, 8, key, n=16000,
+                                       batch=500, with_se=True)
+    assert float(se_big) < float(se)
+
+
+def test_evaluate_nll_reports_log_partition_se():
+    cfg = tiny_config("mnist_advprior")
+    state = _init_state(cfg)
+    res = evaluate_nll(cfg, state.params, state.d_params, k=4, chunk=2,
+                       max_examples=16)
+    assert "log_partition_se" in res and res["log_partition_se"] > 0
+    # non-adversarial scoring: no MC estimate, se is exactly 0
+    res0 = evaluate_nll(cfg, state.params, state.d_params, k=4, chunk=2,
+                        max_examples=16, use_adversarial_prior=False)
+    assert res0["log_partition_se"] == 0.0
+
+
+def test_local_rows_matches_global_on_virtual_mesh():
+    """_local_rows: shard-sorted concat == the global array when every
+    shard is addressable (the single-process invariant the multi-host path
+    builds on)."""
+    from apv_tpu.eval.run import _local_rows
+    from apv_tpu.parallel import data_sharding, make_mesh
+
+    mesh = make_mesh()
+    x = np.arange(64, dtype=np.float32)
+    arr = jax.device_put(x, data_sharding(mesh))
+    np.testing.assert_array_equal(_local_rows(arr), x)
+    x2 = np.arange(48, dtype=np.float32).reshape(16, 3)
+    arr2 = jax.device_put(x2, data_sharding(mesh))
+    np.testing.assert_array_equal(_local_rows(arr2), x2)
+
+
+def test_assemble_global_reorders_process_major_gather():
+    """The [P, n_batches, per] allgather must transpose back to batch-major
+    global order (process p owns rows [p*per:(p+1)*per] of every batch)."""
+    from apv_tpu.eval.run import _assemble_global
+
+    # global batches: [0..7], [8..15]; per-host rows of each batch
+    #   host0: [0..3], [8..11]   host1: [4..7], [12..15]
+    h0 = [np.array([0, 1, 2, 3.0]), np.array([8, 9, 10, 11.0])]
+    h1 = [np.array([4, 5, 6, 7.0]), np.array([12, 13, 14, 15.0])]
+    # single-process path is identity
+    np.testing.assert_array_equal(
+        _assemble_global(h0, 1), np.concatenate(h0))
+    # simulate the gathered tensor process_allgather would produce
+    gathered = np.stack([np.stack(h0), np.stack(h1)])     # [P=2, 2, 4]
+    flat = gathered.transpose(1, 0, 2).reshape(-1)
+    np.testing.assert_array_equal(flat, np.arange(16, dtype=np.float32))

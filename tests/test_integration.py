@@ -53,3 +53,26 @@ def test_full_pipeline_config2_adversarial(tmp_path):
     res = apv_tpu.evaluate(cfg, k=4)
     assert np.isfinite(res["nll_nats"])
     assert res["adversarial_prior"] is True
+
+
+def test_eval_adopts_checkpoint_architecture(tmp_path):
+    """A preset whose architecture default drifted (e.g. norm group->rms
+    between rounds) must still restore an older checkpoint: eval-side entry
+    points snap model/adversarial sections to the checkpoint's own saved
+    config.json (round-2 advisor, api._adopt_checkpoint_arch)."""
+    cfg = tiny_config("mnist_vae", tmp_dir=str(tmp_path), **{
+        "train.steps": 2, "train.checkpoint_every": 2,
+        "train.eval_every": 0, "data.synthetic_size": 64})
+    apv_tpu.train(cfg)
+
+    # same preset, but the caller's config drifted to a different z_dim —
+    # without adoption the restore template mismatches the checkpoint
+    drifted = tiny_config("mnist_vae", tmp_dir=str(tmp_path), **{
+        "model.z_dim": 12, "train.steps": 2, "train.eval_every": 0,
+        "data.synthetic_size": 64})
+    res = apv_tpu.evaluate(drifted, k=2, activity=False)
+    assert np.isfinite(res["nll_nats"])
+    assert "active_units" not in res          # activity=False skips the pass
+
+    res2 = apv_tpu.evaluate(drifted, k=2)
+    assert res2["active_units"] <= 8          # the CHECKPOINT's z_dim (8)

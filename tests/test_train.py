@@ -351,3 +351,58 @@ def test_grad_accum_adversarial_runs():
     batch = _synthetic_batch(cfg, cfg.train.batch_size)
     _, hist = _run_steps(cfg, 6, batch)
     assert np.isfinite(hist[-1]["loss"]) and np.isfinite(hist[-1]["d_loss"])
+
+
+def test_packed_step_matches_unpacked():
+    """data.bit_pack transport equivalence: one train step on a bit-packed
+    batch must match the same step on the float batch (the unpack
+    reproduces exactly {0,1} on device — lossless payload compression)."""
+    cfg = tiny_config("mnist_vae")
+    fns = make_train_fns(cfg)
+    state = fns.init_fn(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    imgs = (rng.random((cfg.train.batch_size, 28, 28, 1)) < 0.4).astype(
+        np.uint8)
+    from apv_tpu.data.preprocess import pack_bits
+    s1, m1 = jax.jit(fns.train_step)(state, {"image":
+                                             imgs.astype(np.float32)})
+    s2, m2 = jax.jit(fns.train_step)(state, {"image_packed":
+                                             pack_bits(imgs)})
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-6,
+                                   atol=1e-7, err_msg=k)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-7)
+
+
+def test_pre_ema_checkpoint_restores(tmp_path):
+    """Round-1 checkpoints (saved before TrainState.ema_params existed)
+    lack the key entirely on disk; restore must decide the branch from the
+    CHECKPOINT's metadata, not the template (round-2 advisor, medium)."""
+    import dataclasses
+
+    from apv_tpu.utils import checkpoint as ckpt
+
+    cfg = tiny_config("mnist_vae")
+    batch = _synthetic_batch(cfg, cfg.train.batch_size)
+    state, _ = _run_steps(cfg, 2, batch)
+    old_style = {f.name: getattr(state, f.name)
+                 for f in dataclasses.fields(state)
+                 if f.name != "ema_params"}
+    ckpt.save_checkpoint(tmp_path / "old", jax.device_get(old_style), 2)
+
+    # ema-off config: restores with an empty shadow
+    t_off = jax.eval_shape(make_train_fns(cfg).init_fn, jax.random.PRNGKey(0))
+    got = ckpt.restore_checkpoint(tmp_path / "old", t_off)
+    assert got.ema_params == {}
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), got.params, state.params)
+
+    # ema-on config: shadow warm-started from the restored params
+    cfg_on = tiny_config("mnist_vae", **{"train.ema_decay": 0.5})
+    t_on = jax.eval_shape(make_train_fns(cfg_on).init_fn,
+                          jax.random.PRNGKey(0))
+    got_on = ckpt.restore_checkpoint(tmp_path / "old", t_on)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), got_on.ema_params, state.params)
