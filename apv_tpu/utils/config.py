@@ -241,10 +241,14 @@ def _cifar_advprior_resnet() -> Config:
         # AND better bits/dim at the 3k and 10k gates (2.582 vs 2.913,
         # 1.391 vs 1.72 — RESULTS.md roofline §2b), so the flagship
         # defaults to it on both axes.
+        # activation=silu (round 3): quality-gated at the same protocol —
+        # 3k/k=100 2.495 vs gelu 2.582, 10k/k=1000 1.315 vs 1.391 — and
+        # ~1 ms/step cheaper than GELU's tanh chain (RESULTS.md roofline
+        # §3), so the flagship snaps to it on both axes too.
         model=ModelConfig(family="resnet", z_dim=128, widths=(64, 128, 256),
                           likelihood="discretized_logistic",
                           image_shape=(32, 32, 3), upsample="conv_transpose",
-                          norm="rms"),
+                          norm="rms", activation="silu"),
         # label smoothing keeps D off the saturation plateau observed in
         # full-scale runs (d_loss -> 5e-4 by step 2500 without it)
         adversarial=AdversarialConfig(enabled=True, label_smoothing=0.1),

@@ -46,11 +46,22 @@ VARIANTS: dict[str, list[str]] = {
     "ls0.1_dlr4e-4": ["adversarial.label_smoothing=0.1",
                       "adversarial.d_lr=4e-4"],
     "aae": ["adversarial.variant=aae"],
+    # Round-3 fashion-counterpart variants (VERDICT r2 item 3: the
+    # fashion-trained D converges soft, d_acc ~0.67, reverse AUROC 0.682 —
+    # sharpen D without breaking the no-saturation rule the round-2 sweep
+    # established). Run with --train-dataset fashion_mnist.
+    "dlr1e-3": ["adversarial.d_lr=1e-3"],
+    "dwide512": ["adversarial.d_widths=[512,512]"],
+    "ncritic2_dlr4e-4": ["adversarial.n_critic=2", "adversarial.d_lr=4e-4"],
+    "ls0.05_dlr1e-3": ["adversarial.label_smoothing=0.05",
+                       "adversarial.d_lr=1e-3"],
 }
 
 
 def run_variant(name: str, overrides: list[str], *, steps: int,
-                results_root: str, ood_k: int, max_examples: int) -> dict:
+                results_root: str, ood_k: int, max_examples: int,
+                train_dataset: str = "mnist",
+                ood_dataset: str = "fashion_mnist") -> dict:
     from apv_tpu.training import train_loop
 
     cfg = get_preset("mnist_advprior")
@@ -60,6 +71,7 @@ def run_variant(name: str, overrides: list[str], *, steps: int,
         f"train.steps={steps}",
         f"train.checkpoint_every={steps}",
         "train.eval_every=0",            # no valid split: sweep scores OOD
+        f"data.dataset={train_dataset}",
     ] + overrides)
 
     t0 = time.perf_counter()
@@ -84,12 +96,14 @@ def run_variant(name: str, overrides: list[str], *, steps: int,
 
     t1 = time.perf_counter()
     scores = {ds: {"adv": per_sample(ds, True), "base": per_sample(ds, False)}
-              for ds in ("mnist", "fashion_mnist")}
-    in_s, ood_s = scores["mnist"], scores["fashion_mnist"]
+              for ds in (train_dataset, ood_dataset)}
+    in_s, ood_s = scores[train_dataset], scores[ood_dataset]
     result = {
         "variant": name,
         "overrides": overrides,
         "steps": steps,
+        "train_dataset": train_dataset,
+        "ood_dataset": ood_dataset,
         "auroc_prior_ratio": auroc(in_s["adv"] - in_s["base"],
                                    ood_s["adv"] - ood_s["base"]),
         "auroc_adv_iwae": auroc(in_s["adv"], ood_s["adv"]),
@@ -114,6 +128,11 @@ def main() -> None:
     p.add_argument("--out", default="/tmp/gan_sweep_results.jsonl")
     p.add_argument("--results-root", default="/tmp/gan_sweep")
     p.add_argument("--ood-k", type=int, default=100)
+    p.add_argument("--train-dataset", default="mnist",
+                   help="in-distribution dataset the variants train on "
+                        "(fashion_mnist for the reverse-direction sweep)")
+    p.add_argument("--ood-dataset", default=None,
+                   help="default: the other member of the MNIST pair")
     p.add_argument("--max-examples", type=int, default=2_000)
     p.add_argument("--platform", choices=("tpu", "cpu"), default=None,
                    help="force a JAX platform (smoke runs off-TPU; the "
@@ -124,12 +143,16 @@ def main() -> None:
         import jax
         jax.config.update("jax_platforms", args.platform)
     enable_default_cache()
+    ood_dataset = args.ood_dataset or (
+        "mnist" if args.train_dataset == "fashion_mnist" else "fashion_mnist")
     for name in args.variants:
         print(f"=== sweep variant {name} {VARIANTS[name]}", flush=True)
         result = run_variant(name, VARIANTS[name], steps=args.steps,
                              results_root=args.results_root,
                              ood_k=args.ood_k,
-                             max_examples=args.max_examples)
+                             max_examples=args.max_examples,
+                             train_dataset=args.train_dataset,
+                             ood_dataset=ood_dataset)
         with open(args.out, "a") as f:
             f.write(json.dumps(result) + "\n")
         print(json.dumps(result), flush=True)

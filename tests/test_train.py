@@ -135,7 +135,7 @@ def test_activation_and_norm_knobs_train():
     default at identical seeds)."""
     batch = None
     losses = {}
-    for tag, ov in (("default", {}),          # flagship default: gelu + rms
+    for tag, ov in (("default", {}),          # flagship default: silu + rms
                     ("group", {"model.norm": "group"}),
                     ("relu_nonorm", {"model.activation": "relu",
                                      "model.norm": "none"})):
