@@ -55,6 +55,8 @@ VARIANTS: dict[str, list[str]] = {
     "ncritic2_dlr4e-4": ["adversarial.n_critic=2", "adversarial.d_lr=4e-4"],
     "ls0.05_dlr1e-3": ["adversarial.label_smoothing=0.05",
                        "adversarial.d_lr=1e-3"],
+    "dlr1e-3_dwide512": ["adversarial.d_lr=1e-3",
+                         "adversarial.d_widths=[512,512]"],
 }
 
 
