@@ -65,6 +65,19 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
     # Multi-host: every process runs the same compute; only process 0
     # persists (two orbax saves to one shared dir would race).
     primary = jax.process_index() == 0
+    if not resume and primary and ckpt.latest_step(ckpt_dir) is not None:
+        # Orbax skips save() for steps already on disk, so a fresh run into
+        # a reused results dir would train new weights but silently KEEP the
+        # old checkpoints at overlapping steps (and eval/ood would score the
+        # stale model). A non-resume run owns its results dir: clear them.
+        import shutil
+        shutil.rmtree(ckpt_dir)
+        best_dir = results_dir / "best"
+        if best_dir.exists():
+            shutil.rmtree(best_dir)
+        print(f"cleared stale checkpoints under {results_dir} "
+              "(fresh run into an existing results dir; use --resume to "
+              "continue instead)", flush=True)
 
     state = jax.jit(fns.init_fn, out_shardings=replicated(mesh))(
         jax.random.PRNGKey(cfg.train.seed))

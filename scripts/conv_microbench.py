@@ -2,7 +2,8 @@
 (VERDICT r2 item 8: the "~60% MXU is the conv codegen ceiling" claim needs
 a measured microbenchmark verdict, even a losing one.)
 
-Three contenders per shape, forward pass, f32, best-of-5 windows with
+Three contenders per shape, forward pass, f32 AND bf16 (the production
+convs run bf16 — RESULTS.md roofline), best-of-5 windows with
 host-readback sync:
   * xla_conv    — lax.conv_general_dilated (the production path)
   * nine_dot    — same conv as 9 shifted matmuls accumulated (XLA dots on
@@ -105,20 +106,23 @@ def main() -> None:
     impls = [("xla_conv", xla_conv), ("nine_dot", nine_dot),
              ("pallas_conv", pallas_conv)]
     for b, h, wd, cin, cout in SHAPES:
-        x = jnp.asarray(rng.normal(size=(b, h, wd, cin)), jnp.float32)
-        w = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.05,
-                        jnp.float32)
-        ref = np.asarray(xla_conv(x, w))
+        xf = jnp.asarray(rng.normal(size=(b, h, wd, cin)), jnp.float32)
+        wf = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.05,
+                         jnp.float32)
+        ref = np.asarray(xla_conv(xf, wf))
         flops = 2 * b * h * wd * 9 * cin * cout
-        for name, fn in impls:
-            got = np.asarray(jax.jit(fn)(x, w))
-            err = float(np.max(np.abs(got - ref)) / np.max(np.abs(ref)))
-            sec = bench(fn, x, w)
-            print(json.dumps({
-                "shape": [b, h, wd, cin, cout], "impl": name,
-                "ms": round(sec * 1e3, 3),
-                "tflops": round(flops / sec / 1e12, 2),
-                "rel_err_vs_xla": round(err, 7)}), flush=True)
+        for dtype in (jnp.float32, jnp.bfloat16):
+            x, w = xf.astype(dtype), wf.astype(dtype)
+            for name, fn in impls:
+                got = np.asarray(jax.jit(fn)(x, w), np.float32)
+                err = float(np.max(np.abs(got - ref)) / np.max(np.abs(ref)))
+                sec = bench(fn, x, w)
+                print(json.dumps({
+                    "shape": [b, h, wd, cin, cout], "impl": name,
+                    "dtype": dtype.__name__,
+                    "ms": round(sec * 1e3, 3),
+                    "tflops": round(flops / sec / 1e12, 2),
+                    "rel_err_vs_xla_f32": round(err, 7)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -406,3 +406,35 @@ def test_pre_ema_checkpoint_restores(tmp_path):
     got_on = ckpt.restore_checkpoint(tmp_path / "old", t_on)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), got_on.ema_params, state.params)
+
+
+def test_fresh_run_clears_stale_checkpoints(tmp_path):
+    """A non-resume train_loop into a reused results dir must not keep old
+    checkpoints: orbax skips save() for steps already on disk, so a retrain
+    would otherwise write metrics for NEW weights while eval/ood silently
+    restore the OLD ones (observed on the round-3 fashion retrain)."""
+    from apv_tpu.training.loop import train_loop
+    from apv_tpu.utils import checkpoint as ckpt
+
+    common = {"train.steps": 2, "train.checkpoint_every": 2,
+              "train.eval_every": 0,
+              "data.synthetic_size": 512, "train.valid_fraction": 0.125}
+    cfg_a = tiny_config("mnist_vae", tmp_dir=str(tmp_path), **common)
+    final_a = train_loop(cfg_a)
+    ckpt_dir = tmp_path / cfg_a.name / "checkpoints"
+    assert ckpt.latest_step(ckpt_dir) == 2
+
+    cfg_b = tiny_config("mnist_vae", tmp_dir=str(tmp_path),
+                        **{**common, "train.seed": 1})
+    final_b = train_loop(cfg_b)
+    # different seed -> genuinely different weights
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        final_a.params, final_b.params))
+    assert max(diffs) > 0
+    restored = ckpt.restore_checkpoint(
+        ckpt_dir, jax.eval_shape(make_train_fns(cfg_b).init_fn,
+                                 jax.random.PRNGKey(1)))
+    # the checkpoint on disk is run B's, not run A's stale one
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), restored.params, final_b.params)
