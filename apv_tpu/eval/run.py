@@ -61,10 +61,16 @@ def _host_shard() -> tuple[int, int] | None:
 
 def _local_rows(arr: jax.Array) -> np.ndarray:
     """This process's rows of a first-axis-sharded global array, in global
-    row order (single process: all rows — identical to np.asarray)."""
-    shards = sorted(arr.addressable_shards,
-                    key=lambda s: s.index[0].start or 0)
-    return np.concatenate([np.asarray(s.data) for s in shards])
+    row order (single process: all rows — identical to np.asarray).
+
+    Dedupes replica shards: on the 2-D (data, k) eval mesh the score vector
+    is sharded over ``data`` but REPLICATED over ``k``, so every data row
+    appears once per k-device in ``addressable_shards``."""
+    seen: dict[int, jax.Array] = {}
+    for s in arr.addressable_shards:
+        seen.setdefault(s.index[0].start or 0, s.data)
+    return np.concatenate(
+        [np.asarray(seen[start]) for start in sorted(seen)])
 
 
 def _assemble_global(per_batch_local: list[np.ndarray],
@@ -152,9 +158,20 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
             "builds its own 2-D (data, k) mesh. Pass mesh=None or set "
             "eval.k_shards=1.")
     if cfg.eval.k_shards > 1 and jax.process_count() > 1:
-        raise NotImplementedError(
-            "k-sharded eval is single-host only; multi-host eval runs with "
-            "eval.k_shards=1 (batch-axis sharding over all chips)")
+        # Multi-host k-sharding works when every data row of the (data, k)
+        # grid lives entirely on one process: jax.devices() is process-major
+        # and each process holds n_dev/pcount devices, so that holds exactly
+        # when pcount divides n_data. Then Batcher(host_shard=...) rows line
+        # up with the process's contiguous data-row block and put_batch /
+        # _local_rows / _assemble_global compose unchanged.
+        n_dev = jax.device_count()
+        n_k = min(cfg.eval.k_shards, n_dev)
+        if (n_dev // n_k) % jax.process_count() != 0:
+            raise ValueError(
+                f"eval.k_shards={cfg.eval.k_shards}: data-axis size "
+                f"{n_dev // n_k} is not divisible by process count "
+                f"{jax.process_count()}; pick k_shards so each process owns "
+                "whole data rows (or set eval.k_shards=1)")
     mesh = mesh if mesh is not None else make_mesh()
     k = k if k is not None else cfg.eval.iwae_k
     chunk = chunk if chunk is not None else min(cfg.eval.iwae_chunk, k)

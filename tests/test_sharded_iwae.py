@@ -88,3 +88,51 @@ def test_rejects_bad_shard_arithmetic():
         make_sharded_iwae_fn(model, "bernoulli", k=10, chunk=2, mesh=mesh)
     with pytest.raises(ValueError):
         make_mesh_2d(4, 4)          # only 8 devices
+
+
+def test_ksharded_multihost_assembly_matches_global():
+    """Simulated 2-host layout on the (2 data x 4 k) mesh: host p owns
+    devices [4p:4p+4] — exactly data row p — so per-host row blocks
+    assembled shard-by-shard (the make_array_from_process_local_data
+    layout under jax.distributed) score identically to a single-host
+    global device_put; and _local_rows dedupes the k-replica shards."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg, model, params, x = _setup()
+    mesh = make_mesh_2d(2, 4)
+    f = jax.jit(make_sharded_iwae_fn(model, "bernoulli", k=32, chunk=4,
+                                     mesh=mesh))
+    shard = NamedSharding(mesh, P("data"))
+    key = jax.random.PRNGKey(3)
+    xg = jax.device_put(x, shard)
+    ll_global = f(params, {}, xg, xg, key, 0.0)
+
+    devices = list(mesh.devices.ravel())        # row-major: [data, k]
+    rows = [x[:4], x[4:]]                       # host p's Batcher host_shard
+    shards = [jax.device_put(rows[p], devices[p * 4 + d])
+              for p in range(2) for d in range(4)]
+    xa = jax.make_array_from_single_device_arrays(x.shape, shard, shards)
+    ll_asm = f(params, {}, xa, xa, key, 0.0)
+    np.testing.assert_allclose(np.asarray(ll_asm), np.asarray(ll_global),
+                               rtol=1e-6)
+
+    # the score vector is replicated over k: _local_rows must return each
+    # data row once, in order — not n_k copies
+    from apv_tpu.eval.run import _local_rows
+    assert len(ll_global.addressable_shards) == 8
+    np.testing.assert_array_equal(_local_rows(ll_global),
+                                  np.asarray(ll_global))
+
+
+def test_ksharded_multihost_alignment_guard(monkeypatch):
+    """k_shards that strand a data row across processes must be rejected
+    with a clear error (not silently mis-sharded)."""
+    import pytest
+    from apv_tpu.eval.run import evaluate_nll
+
+    cfg = tiny_config("mnist_vae", **{"eval.k_shards": 4})
+    fns = make_train_fns(cfg)
+    state = fns.init_fn(jax.random.PRNGKey(0))
+    monkeypatch.setattr(jax, "process_count", lambda: 3)   # 8//4=2 rows
+    with pytest.raises(ValueError, match="k_shards"):
+        evaluate_nll(cfg, state.params, k=8, chunk=2, max_examples=32)
