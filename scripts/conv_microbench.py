@@ -64,7 +64,7 @@ def _pallas_kernel(x_ref, w_ref, o_ref, *, h, wd, c, k):
     o_ref[:] = acc.reshape(tb, h, wd, k)
 
 
-def pallas_conv(x, w, tile_b: int = 8):
+def pallas_conv(x, w, tile_b: int = 4):
     b, h, wd, c = x.shape
     k = w.shape[-1]
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -99,6 +99,31 @@ def bench(fn, x, w, *, windows=5, reps=20) -> float:
     return best / reps
 
 
+def bench_chained(fn, x, w, *, n_iter=50, windows=5, reps=4) -> float:
+    """Per-conv time with the dispatch floor amortized away: Cin==Cout and
+    SAME padding make the conv shape-preserving, so 50 convs chain inside
+    ONE jitted fori_loop — a single dispatch, back-to-back MXU work, like
+    convs sit in the real training graph. (Per-call benching on this relay
+    bottoms out at a ~1.7 ms dispatch floor that swamps the ~0.2 ms op.)"""
+
+    @jax.jit
+    def many(x, w):
+        def body(_, xc):
+            return fn(xc, w).astype(x.dtype)
+        return jax.lax.fori_loop(0, n_iter, body, x)
+
+    y = many(x, w)
+    float(y[0, 0, 0, 0])
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = many(x, w)
+        float(y[0, 0, 0, 0])
+        best = min(best, time.perf_counter() - t0)
+    return best / (reps * n_iter)
+
+
 def main() -> None:
     from apv_tpu.utils.compcache import enable_default_cache
     enable_default_cache()
@@ -116,11 +141,11 @@ def main() -> None:
             for name, fn in impls:
                 got = np.asarray(jax.jit(fn)(x, w), np.float32)
                 err = float(np.max(np.abs(got - ref)) / np.max(np.abs(ref)))
-                sec = bench(fn, x, w)
+                sec = bench_chained(fn, x, w)
                 print(json.dumps({
                     "shape": [b, h, wd, cin, cout], "impl": name,
                     "dtype": dtype.__name__,
-                    "ms": round(sec * 1e3, 3),
+                    "chained_ms": round(sec * 1e3, 3),
                     "tflops": round(flops / sec / 1e12, 2),
                     "rel_err_vs_xla_f32": round(err, 7)}), flush=True)
 

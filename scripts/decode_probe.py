@@ -32,26 +32,31 @@ def main() -> None:
     state = jax.jit(fns.init_fn)(jax.random.PRNGKey(0))
     d_apply = d_apply_fn(LatentDiscriminator(tuple(cfg.adversarial.d_widths)))
 
-    def run(key):
-        imgs = generate_samples(fns.model, state.params, key, n,
+    def call(key):
+        return generate_samples(fns.model, state.params, key, n,
                                 cfg.model.z_dim, cfg.model.likelihood,
                                 cfg.model.image_shape[2], d_apply=d_apply,
                                 d_params=state.d_params, mode="mean")
-        # host readback sync (block_until_ready unreliable on the relay)
-        return float(imgs[0, 0, 0, 0])
 
-    run(jax.random.PRNGKey(0))               # compile + warmup
-    run(jax.random.PRNGKey(1))
-    reps, best = 8, float("inf")
+    # Sustained throughput: dispatch a window of calls back-to-back and
+    # host-sync ONCE at the end (block_until_ready unreadable on the relay;
+    # a per-call float() readback serializes a ~35 ms host round trip into
+    # every batch and measures relay latency, not decode throughput --
+    # round-3 diagnosis, RESULTS.md sampling section).
+    float(call(jax.random.PRNGKey(0))[0, 0, 0, 0])   # compile + warmup
+    float(call(jax.random.PRNGKey(1))[0, 0, 0, 0])
+    reps, best = 16, float("inf")
     for w in range(5):
         t0 = time.perf_counter()
         for i in range(reps):
-            run(jax.random.PRNGKey(100 + w * reps + i))
+            last = call(jax.random.PRNGKey(100 + w * reps + i))
+        float(last[0, 0, 0, 0])
         best = min(best, time.perf_counter() - t0)
     per_call = best / reps
     print(json.dumps({
         "metric": "decode_samples_per_sec_per_chip",
         "n": n,
+        "pipelined_calls_per_window": reps,
         "ms_per_batch": round(per_call * 1e3, 2),
         "samples_per_sec": round(n / per_call, 0),
     }))

@@ -52,27 +52,51 @@ def capture(n_steps: int = 10) -> None:
             float(metrics["loss"])
 
 
-_BUCKETS = (
-    ("conv_bwd", re.compile(r"(gradients|transpose.*conv|conv.*backward"
-                            r"|%convolution-base-dilated)", re.I)),
-    ("conv_fwd", re.compile(r"convolution|conv_general", re.I)),
-    ("matmul", re.compile(r"dot|matmul", re.I)),
-    ("norm_stats", re.compile(r"reduce|rsqrt|variance|norm", re.I)),
-    ("copy_reshape", re.compile(r"copy|transpose|reshape|bitcast|pad|slice",
-                                re.I)),
-    ("pallas", re.compile(r"custom-call|tpu_custom_call", re.I)),
-    ("elementwise_fusion", re.compile(r"fusion|loop_", re.I)),
-)
+# On TPU, XLA fuses nearly everything into generic "%fusion.N" ops, so
+# opcode alone is useless — classify by SHAPE SIGNATURE instead: a fusion
+# whose OUTPUT is 3x3-filter-shaped is a conv-backward-filter; one with a
+# 3x3-filter OPERAND runs a conv (forward or backward-input) on the MXU.
+_FILTER = re.compile(r"\[3,3,\d+,\d+\]")
+_BOUND = {"conv_mxu": "MXU", "conv_bwd_filter": "MXU",
+          "elementwise": "VPU/HBM", "copy_reshape": "HBM",
+          "reduce_stats": "VPU", "pallas": "kernel", "convert": "VPU"}
 
 
-def bucket_of(name: str) -> str:
-    for b, rx in _BUCKETS:
-        if rx.search(name):
-            return b
-    return "other"
+def bucket_of(name: str) -> tuple[str, str]:
+    lhs, _, rhs = name.partition(" = ")
+    ident = re.sub(r"[.\d]+$", "", lhs.lstrip("%"))
+    i = rhs.find("fusion(")
+    out_t, operands = (rhs[:i], rhs[i:]) if i >= 0 else (rhs.split("(")[0],
+                                                         rhs)
+    if "custom-call" in ident or "jvp" in ident:
+        b = "pallas"
+    elif "convolution" in ident or "conv" in ident:
+        b = "conv_mxu"
+    elif "fusion" in ident:
+        if _FILTER.search(out_t):
+            b = "conv_bwd_filter"
+        elif _FILTER.search(operands):
+            b = "conv_mxu"
+        elif "reduce" in ident:
+            b = "reduce_stats"
+        else:
+            b = "elementwise"
+    elif any(k in ident for k in ("copy", "slice", "reshape", "bitcast",
+                                  "pad", "reverse")):
+        b = "copy_reshape"
+    elif "convert" in ident:
+        b = "convert"
+    else:
+        b = ident
+    return b, _BOUND.get(b, "?")
 
 
 def parse(n_steps: int) -> dict:
+    """Aggregate exclusive per-op self-time from the device plane's
+    'XLA Ops' line ONLY. The 'Async XLA Ops' line (DMA slices overlapping
+    compute) and the host plane would double-count wall time — the first
+    cut of this parser summed every line and reported 87 ms/step for a
+    14 ms step; 'XLA Ops' alone reproduces the measured step time."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     pbs = sorted(Path(TRACE_DIR).rglob("*.xplane.pb"))
@@ -81,18 +105,23 @@ def parse(n_steps: int) -> dict:
     space = xplane_pb2.XSpace()
     space.ParseFromString(pbs[-1].read_bytes())
 
-    device_planes = [p for p in space.planes
-                     if "TPU" in p.name and "SparseCore" not in p.name]
-    if not device_planes:
-        device_planes = [p for p in space.planes if "/device" in p.name]
+    planes = [p for p in space.planes
+              if "TPU" in p.name and any(l.name == "XLA Ops"
+                                         for l in p.lines)]
+    if not planes:
+        raise RuntimeError("no TPU device plane with an 'XLA Ops' line; "
+                           f"planes: {[p.name for p in space.planes]}")
     op_time_ps: dict[str, int] = defaultdict(int)
     op_count: dict[str, int] = defaultdict(int)
-    for plane in device_planes:
+    async_dma_ms = 0.0
+    for plane in planes:
         ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
         for line in plane.lines:
-            lname = line.name.lower()
-            # per-op lines on TPU: "XLA Ops" / op streams; skip step lines
-            if "step" in lname or "module" in lname:
+            if line.name == "Async XLA Ops":
+                async_dma_ms += sum(e.duration_ps
+                                    for e in line.events) / 1e9 / n_steps
+                continue
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
                 name = ev_meta.get(ev.metadata_id, "?")
@@ -104,15 +133,19 @@ def parse(n_steps: int) -> dict:
     rows = sorted(op_time_ps.items(), key=lambda kv: -kv[1])
     buckets: dict[str, float] = defaultdict(float)
     for name, ps in rows:
-        buckets[bucket_of(name)] += ps / 1e9 / n_steps
-    top = [{"op": name, "ms_per_step": round(ps / 1e9 / n_steps, 4),
+        buckets[bucket_of(name)[0]] += ps / 1e9 / n_steps
+    top = [{"op": name[:160], "ms_per_step": round(ps / 1e9 / n_steps, 4),
             "pct": round(100 * ps / total_ps, 2),
             "calls_per_step": op_count[name] // n_steps,
-            "bucket": bucket_of(name)}
+            "bucket": bucket_of(name)[0], "bound": bucket_of(name)[1]}
            for name, ps in rows[:40]]
     return {"n_steps": n_steps,
-            "device_plane_names": [p.name for p in device_planes],
+            "device_plane_names": [p.name for p in planes],
             "total_device_ms_per_step": round(per_step_ms, 3),
+            # DMA issued async, overlapping compute — NOT additive with the
+            # exclusive op times above; large values mean the step is
+            # memory-traffic heavy even when op self-times look small.
+            "async_dma_overlap_ms_per_step": round(async_dma_ms, 3),
             "buckets_ms_per_step": {k: round(v, 3)
                                     for k, v in sorted(buckets.items(),
                                                        key=lambda kv: -kv[1])},
