@@ -153,11 +153,23 @@ def export_sampler(cfg: Config, params, d_params, out_path: str | Path,
     return out_path
 
 
-def export_scorer(cfg: Config, params, out_path: str | Path) -> Path:
+def export_scorer(cfg: Config, params, out_path: str | Path, *,
+                  polymorphic_batch: bool = True) -> Path:
+    """Serialize the per-sample ELBO scorer.
+
+    By default the batch axis is exported SYMBOLIC (``jax.export`` shape
+    polymorphism): one artifact scores any batch size, so serving-side
+    batching policy is free to change without re-exporting. Pass
+    ``polymorphic_batch=False`` to pin ``cfg.eval.batch_size`` (lets XLA
+    specialize, e.g. for a fixed-shape accelerator deployment)."""
     h, w, c = cfg.model.image_shape
     fn = _scorer_fn(cfg, params)
+    if polymorphic_batch:
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = cfg.eval.batch_size
     exp = jax_export.export(jax.jit(fn), platforms=_PLATFORMS)(
-        jax.ShapeDtypeStruct((cfg.eval.batch_size, h, w, c), jnp.float32),
+        jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
         jax.ShapeDtypeStruct((), jnp.int32))
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)

@@ -136,3 +136,27 @@ def test_export_scorer_rejects_quantize(tmp_path):
     apv_tpu.train(cfg)
     with pytest.raises(ValueError, match="sampler-only"):
         apv_tpu.export_artifact(cfg, what="scorer", quantize="int8")
+
+
+def test_scorer_polymorphic_batch(tmp_path):
+    """The default scorer artifact has a SYMBOLIC batch axis: one export
+    serves any batch size, matching the in-process scorer at each."""
+    cfg = tiny_config("mnist_vae", **{"eval.batch_size": 4})
+    state = _state(cfg)
+    path = serving.export_scorer(cfg, state.params, tmp_path / "sc.stablehlo")
+    loaded = serving.load_exported(path)
+    rng = np.random.default_rng(1)
+    for b in (1, 4, 7):
+        x = (rng.random((b, 28, 28, 1)) < 0.4).astype(np.float32)
+        got = np.asarray(loaded.call(jnp.asarray(x), jnp.int32(3)))
+        want = np.asarray(serving._scorer_fn(cfg, state.params)(
+            jnp.asarray(x), jnp.int32(3)))
+        assert got.shape == (b,)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    # pinned export still available for fixed-shape deployments
+    pinned = serving.load_exported(serving.export_scorer(
+        cfg, state.params, tmp_path / "sc_pin.stablehlo",
+        polymorphic_batch=False))
+    x = (rng.random((4, 28, 28, 1)) < 0.4).astype(np.float32)
+    assert np.asarray(pinned.call(jnp.asarray(x), jnp.int32(0))).shape == (4,)
