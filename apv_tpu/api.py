@@ -20,15 +20,17 @@ def _resolve(config: str | Config, overrides: list[str] | None) -> Config:
     return apply_overrides(cfg, overrides or [])
 
 
-def _saved_config(cfg: Config, checkpoint_dir: str | None = None):
-    """The config.json saved next to the checkpoint this cfg points at
-    (None if absent). Handles legacy double-encoded files."""
+def _saved_config(cfg: Config, checkpoint_dir: str | None = None,
+                  name: str | None = None):
+    """The config.json saved next to the checkpoint this cfg points at —
+    or, with ``name``, next to that results-dir run — (None if absent).
+    Handles legacy double-encoded files; the single owner of that quirk."""
     from apv_tpu.utils.config import config_from_dict
 
     if checkpoint_dir is not None:
         cfg_path = Path(checkpoint_dir).parent / "config.json"
     else:
-        owner = cfg.checkpoint_of or cfg.name
+        owner = name or cfg.checkpoint_of or cfg.name
         cfg_path = Path(cfg.results_dir) / owner / "config.json"
     if not cfg_path.exists():
         return None
@@ -71,6 +73,16 @@ def _restore_state(cfg: Config, checkpoint_dir: str | None = None):
     return ckpt.restore_checkpoint(ckpt_dir, template)
 
 
+def _write_json(cfg: Config, name: str, data: dict) -> None:
+    """Persist a result file next to the run — process 0 only under
+    jax.distributed (every process runs the same eval compute, but P
+    concurrent writers to one shared results file would interleave; the
+    train loop applies the same primary-only rule to orbax saves)."""
+    from apv_tpu.utils.logging import MetricLogger
+    if jax.process_index() == 0:
+        MetricLogger(Path(cfg.results_dir) / cfg.name).write_json(name, data)
+
+
 def _p(state, cfg):
     """Params eval-side entry points consume: the Polyak average when
     train.ema_decay is on (training/state.eval_params)."""
@@ -80,12 +92,25 @@ def _p(state, cfg):
 
 def train(config: str | Config = "mnist_vae", *,
           overrides: list[str] | None = None, resume: bool = False,
-          max_steps: int | None = None, trace_dir: str | None = None):
-    """Train the configured model; returns the final TrainState."""
+          max_steps: int | None = None, trace_dir: str | None = None,
+          overwrite: bool = False):
+    """Train the configured model; returns the final TrainState.
+
+    ``overwrite=True`` lets a fresh (non-resume) run clear an existing
+    checkpoint dir under the same name; without it the loop refuses.
+    """
     from apv_tpu.training import train_loop
     cfg = _resolve(config, overrides)
+    if resume:
+        # A resumed run must rebuild the CHECKPOINT's architecture, not the
+        # preset's current default (a preset default that moved — e.g.
+        # activation gelu→silu — would otherwise silently push old weights
+        # through new activations; same hazard _adopt_checkpoint_arch
+        # guards on the eval-side entry points). Also restores the original
+        # train.seed so Batcher.iter_from reproduces the run's data order.
+        cfg = _adopt_checkpoint_arch(cfg, overrides)
     return train_loop(cfg, resume=resume, max_steps=max_steps,
-                      trace_dir=trace_dir)
+                      trace_dir=trace_dir, overwrite=overwrite)
 
 
 def evaluate(config: str | Config = "iwae_eval", *,
@@ -99,7 +124,6 @@ def evaluate(config: str | Config = "iwae_eval", *,
     encoder pass over the test split) — for sweeps that only need NLL.
     """
     from apv_tpu.eval.run import evaluate_nll, posterior_activity
-    from apv_tpu.utils.logging import MetricLogger
 
     cfg = _adopt_checkpoint_arch(_resolve(config, overrides), overrides,
                                  checkpoint_dir)
@@ -113,8 +137,7 @@ def evaluate(config: str | Config = "iwae_eval", *,
         result.update(posterior_activity(cfg, _p(state, cfg),
                                          dataset=dataset))
     out = {k_: v for k_, v in result.items() if k_ != "per_sample"}
-    MetricLogger(Path(cfg.results_dir) / cfg.name).write_json(
-        "eval.json", out)
+    _write_json(cfg, "eval.json", out)
     return result
 
 
@@ -151,11 +174,9 @@ def sample(config: str | Config = "mnist_vae", *,
     save_image_grid(images, path)
     if quality_n > 0:
         from apv_tpu.eval.sample_quality import sample_quality
-        from apv_tpu.utils.logging import MetricLogger
         metrics = sample_quality(cfg, _p(state, cfg), d_params, n=quality_n,
                                  seed=seed)
-        MetricLogger(Path(cfg.results_dir) / cfg.name).write_json(
-            "sample_quality.json", metrics)
+        _write_json(cfg, "sample_quality.json", metrics)
         print(json.dumps(metrics, indent=2))
     return images
 
@@ -244,15 +265,10 @@ def _load_named_model(cfg: Config, name: str):
     """(cfg_b, params_b, d_params_b) for a results-dir name: architecture
     from its saved config.json (falls back to the preset registry), params
     from its checkpoint."""
-    from apv_tpu.utils.config import config_from_dict, get_preset
+    from apv_tpu.utils.config import get_preset
 
-    cfg_path = Path(cfg.results_dir) / name / "config.json"
-    if cfg_path.exists():
-        d = json.loads(cfg_path.read_text())
-        if isinstance(d, str):          # legacy double-encoded config.json
-            d = json.loads(d)
-        cfg_b = config_from_dict(d)
-    else:
+    cfg_b = _saved_config(cfg, name=name)
+    if cfg_b is None:
         cfg_b = get_preset(name)
     state_b = _restore_state(cfg_b)
     d_params_b = state_b.d_params if cfg_b.adversarial.enabled else None
@@ -273,7 +289,6 @@ def ood_score(config: str | Config = "ood_suite", *,
     loads the ``ood.baseline_of`` checkpoint as the denominator model.
     """
     from apv_tpu.eval.ood import ood_both, ood_scores
-    from apv_tpu.utils.logging import MetricLogger
 
     cfg = _adopt_checkpoint_arch(_resolve(config, overrides), overrides,
                                  checkpoint_dir)
@@ -289,6 +304,5 @@ def ood_score(config: str | Config = "ood_suite", *,
     else:
         result = ood_scores(cfg, _p(state, cfg), d_params, seed=seed,
                             baseline=baseline)
-    MetricLogger(Path(cfg.results_dir) / cfg.name).write_json(
-        "ood.json", result)
+    _write_json(cfg, "ood.json", result)
     return result

@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
     p_train = sub.add_parser("train", help="train a model")
     _add_common(p_train, "mnist_vae")
     p_train.add_argument("--resume", action="store_true")
+    p_train.add_argument("--overwrite", action="store_true",
+                         help="let a fresh (non-resume) run clear an "
+                              "existing checkpoint dir of the same name "
+                              "(refused otherwise)")
     p_train.add_argument("--max-steps", type=int, default=None)
     p_train.add_argument("--trace-dir", default=None,
                          help="enable jax.profiler traces into this dir")
@@ -105,7 +109,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "train":
         state = api.train(args.preset, overrides=args.overrides,
                           resume=args.resume, max_steps=args.max_steps,
-                          trace_dir=args.trace_dir)
+                          trace_dir=args.trace_dir,
+                          overwrite=args.overwrite)
         print(f"trained to step {int(state.step)}")
     elif args.command == "evaluate":
         result = api.evaluate(args.preset, overrides=args.overrides,

@@ -99,10 +99,19 @@ def estimate_log_partition(d_apply: Callable, d_params: Any, z_dim: int,
     log_z = total - jnp.log(float(n))
     if not with_se:
         return log_z
-    # Jackknife: log Z with chunk i deleted, stable leave-one-out logsumexp
-    # log(e^total - e^{L_i}) = total + log1p(-e^{L_i - total}).
+    # Jackknife: log Z with chunk i deleted. Computed as a masked logsumexp
+    # over the REMAINING chunks, not log(e^total - e^{L_i}) — the
+    # subtraction form yields -inf/NaN whenever one chunk dominates the
+    # total within float precision (heavy-tailed e^{D(z)}), and a NaN SE
+    # would poison eval.json.
     nb = chunk_lse.shape[0]
-    loo = total + jnp.log1p(-jnp.exp(chunk_lse - total))
+    if nb < 2:
+        raise ValueError(
+            f"jackknife SE needs >= 2 MC chunks; n={n}, batch={batch} "
+            f"gives {nb} — lower batch or skip with_se")
+    keep = ~jnp.eye(nb, dtype=bool)                   # [nb, nb] leave-one-out
+    loo = jax.vmap(lambda m: jax.scipy.special.logsumexp(
+        jnp.where(m, chunk_lse, -jnp.inf)))(keep)
     logz_loo = loo - jnp.log(float(n - batch))
     se = jnp.sqrt((nb - 1) / nb
                   * jnp.sum((logz_loo - jnp.mean(logz_loo)) ** 2))

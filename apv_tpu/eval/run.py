@@ -53,10 +53,10 @@ def _prep_eval_batch(cfg: Config, image):
 
 
 def _host_shard() -> tuple[int, int] | None:
-    """Batcher host_shard spec under jax.distributed; None single-process."""
-    if jax.process_count() == 1:
-        return None
-    return (jax.process_index(), jax.process_count())
+    """Batcher host_shard spec under jax.distributed; None single-process
+    (shared contract: parallel/multihost.host_shard, same as the train loop)."""
+    from apv_tpu.parallel.multihost import host_shard
+    return host_shard()
 
 
 def _local_rows(arr: jax.Array) -> np.ndarray:
@@ -160,18 +160,23 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
     if cfg.eval.k_shards > 1 and jax.process_count() > 1:
         # Multi-host k-sharding works when every data row of the (data, k)
         # grid lives entirely on one process: jax.devices() is process-major
-        # and each process holds n_dev/pcount devices, so that holds exactly
-        # when pcount divides n_data. Then Batcher(host_shard=...) rows line
-        # up with the process's contiguous data-row block and put_batch /
-        # _local_rows / _assemble_global compose unchanged.
+        # and make_mesh_2d reshapes it row-major into (data, k), so a row of
+        # n_k consecutive devices stays within one process exactly when n_k
+        # divides the per-process device count. (pcount | n_data alone is
+        # NOT enough: n_dev=8, pcount=2, n_k=3 gives n_data=2 but data row 1
+        # = devices [3,4,5], straddling both processes.) Then
+        # Batcher(host_shard=...) rows line up with the process's contiguous
+        # data-row block and put_batch / _local_rows / _assemble_global
+        # compose unchanged.
         n_dev = jax.device_count()
         n_k = min(cfg.eval.k_shards, n_dev)
-        if (n_dev // n_k) % jax.process_count() != 0:
+        per_proc = n_dev // jax.process_count()
+        if per_proc % n_k != 0:
             raise ValueError(
-                f"eval.k_shards={cfg.eval.k_shards}: data-axis size "
-                f"{n_dev // n_k} is not divisible by process count "
-                f"{jax.process_count()}; pick k_shards so each process owns "
-                "whole data rows (or set eval.k_shards=1)")
+                f"eval.k_shards={cfg.eval.k_shards}: k-axis size {n_k} does "
+                f"not divide the {per_proc} devices per process, so a "
+                "(data, k) mesh row would straddle processes; pick k_shards "
+                "dividing devices-per-process (or set eval.k_shards=1)")
     mesh = mesh if mesh is not None else make_mesh()
     k = k if k is not None else cfg.eval.iwae_k
     chunk = chunk if chunk is not None else min(cfg.eval.iwae_chunk, k)

@@ -53,6 +53,15 @@ def process_index() -> int:
     return jax.process_index()
 
 
+def host_shard() -> tuple[int, int] | None:
+    """``Batcher(host_shard=...)`` spec for this process — (index, count)
+    under jax.distributed, None single-process. The single owner of the
+    host-sharding contract shared by the train and eval batch loops."""
+    if jax.process_count() == 1:
+        return None
+    return (jax.process_index(), jax.process_count())
+
+
 def local_rows(n_global: int, pid: int | None = None,
                pcount: int | None = None) -> tuple[int, int]:
     """[start, stop) of this host's contiguous row range of a global batch.

@@ -20,6 +20,7 @@ from apv_tpu.data import (Batcher, load_dataset, prefetch_to_device,
 from apv_tpu.data.preprocess import pack_bits
 from apv_tpu.parallel import (data_sharding, make_mesh, replicated,
                               stacked_data_sharding)
+from apv_tpu.parallel import multihost
 from apv_tpu.training.state import TrainState
 from apv_tpu.training.step import make_train_fns
 from apv_tpu.utils import checkpoint as ckpt
@@ -52,11 +53,13 @@ def load_train_arrays(cfg: Config) -> tuple[dict[str, np.ndarray],
 
 def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
                arrays: dict[str, np.ndarray] | None = None,
-               resume: bool = False, trace_dir: str | None = None) -> TrainState:
+               resume: bool = False, trace_dir: str | None = None,
+               overwrite: bool = False) -> TrainState:
     """Run (or resume) training; returns the final state.
 
     ``max_steps`` caps this invocation (tests/smoke); the schedule still uses
     ``cfg.train.steps``. ``arrays`` overrides data loading (tests).
+    ``overwrite`` lets a fresh run clear an existing checkpoint dir.
     """
     mesh = mesh if mesh is not None else make_mesh()
     fns = make_train_fns(cfg)
@@ -69,7 +72,16 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
         # Orbax skips save() for steps already on disk, so a fresh run into
         # a reused results dir would train new weights but silently KEEP the
         # old checkpoints at overlapping steps (and eval/ood would score the
-        # stale model). A non-resume run owns its results dir: clear them.
+        # stale model). A non-resume run owns its results dir — but deleting
+        # hours of trained checkpoints because someone forgot --resume on a
+        # smoke rerun is worse, so clearing needs an explicit opt-in.
+        if not overwrite:
+            raise FileExistsError(
+                f"{ckpt_dir} already holds a checkpoint (step "
+                f"{ckpt.latest_step(ckpt_dir)}). A fresh run would clear it "
+                "and retrain from scratch. Pass --resume to continue that "
+                "run, --overwrite to destroy it, or a different name "
+                "(--set name=...) to keep both.")
         import shutil
         shutil.rmtree(ckpt_dir)
         best_dir = results_dir / "best"
@@ -106,8 +118,7 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
         train_arrays, valid_arrays = arrays, None
     else:
         train_arrays, valid_arrays = load_train_arrays(cfg)
-    host_shard = ((jax.process_index(), jax.process_count())
-                  if jax.process_count() > 1 else None)
+    host_shard = multihost.host_shard()
     batcher = Batcher(train_arrays, cfg.train.batch_size, seed=cfg.train.seed,
                       host_shard=host_shard)
     if k > 1:
@@ -120,7 +131,6 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
 
     valid_batches = None
     if valid_arrays is not None:
-        from apv_tpu.parallel.multihost import put_batch
         n_valid_rows = len(next(iter(valid_arrays.values())))
         vbs = min(cfg.train.batch_size, n_valid_rows)
         if host_shard is not None:
@@ -128,7 +138,7 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
             vbs = max(host_shard[1], (vbs // host_shard[1]) * host_shard[1])
         vb = Batcher(valid_arrays, vbs, shuffle=False, host_shard=host_shard)
         shard = data_sharding(mesh)
-        valid_batches = [put_batch(b, shard) for b in vb.epoch()]
+        valid_batches = [multihost.put_batch(b, shard) for b in vb.epoch()]
         if not valid_batches:
             # drop-remainder Batcher with vbs > len(valid): validation (and
             # best-checkpoint tracking) would silently never run

@@ -65,6 +65,36 @@ def _saved_keys_and_ema(mngr, step) -> tuple[set[str] | None, bool]:
     return set(tree), bool(ema)
 
 
+def _restore_pre_ema(mngr, step, abstract, want_ema: bool):
+    """Pre-EMA (round-1) checkpoint: the key is absent on disk, so ANY
+    TrainState template mismatches. Restore through a name-keyed dict
+    template that omits the field (orbax matches leaves by key path, so
+    field names line up), then seed or drop the shadow per the config."""
+    names = [f.name for f in dataclasses.fields(abstract)
+             if f.name != "ema_params"]
+    tmpl = {n: getattr(abstract, n) for n in names}
+    out = mngr.restore(step, args=ocp.args.StandardRestore(tmpl))
+    # jnp.copy, NOT identity: aliased leaves would be donated
+    # twice by jit(train_step, donate_argnums=0) on --resume
+    ema = jax.tree.map(jnp.copy, out["params"]) if want_ema else {}
+    return type(abstract)(**out, ema_params=ema)
+
+
+def _restore_ema_mismatch(mngr, step, abstract, want_ema: bool):
+    """Checkpoint and config disagree about whether the EMA shadow is
+    populated: adapt the template to the checkpoint's side."""
+    if want_ema:
+        # checkpoint saved with ema off (explicit {} node):
+        # restore bare, warm-start the shadow from params
+        bare = abstract.replace(ema_params={})
+        out = mngr.restore(step, args=ocp.args.StandardRestore(bare))
+        return out.replace(ema_params=jax.tree.map(jnp.copy, out.params))
+    # checkpoint HAS a shadow the config ignores: restore it
+    # anyway (training/state.eval_params picks raw params)
+    withema = abstract.replace(ema_params=abstract.params)
+    return mngr.restore(step, args=ocp.args.StandardRestore(withema))
+
+
 def restore_checkpoint(ckpt_dir: str | Path, template: Any,
                        step: int | None = None) -> Any:
     """Restore into the structure of ``template`` (concrete or ShapeDtype)."""
@@ -80,33 +110,27 @@ def restore_checkpoint(ckpt_dir: str | Path, template: Any,
         if is_state:
             keys, saved_ema = _saved_keys_and_ema(mngr, step)
             want_ema = bool(abstract.ema_params)
-            if keys is not None and "ema_params" not in keys:
-                # Pre-EMA (round-1) checkpoint: the key is absent on disk,
-                # so ANY TrainState template mismatches. Restore through a
-                # name-keyed dict template that omits the field (orbax
-                # matches leaves by key path, so field names line up),
-                # then seed or drop the shadow per the config.
-                names = [f.name for f in dataclasses.fields(abstract)
-                         if f.name != "ema_params"]
-                tmpl = {n: getattr(abstract, n) for n in names}
-                out = mngr.restore(step, args=ocp.args.StandardRestore(tmpl))
-                # jnp.copy, NOT identity: aliased leaves would be donated
-                # twice by jit(train_step, donate_argnums=0) on --resume
-                ema = (jax.tree.map(jnp.copy, out["params"]) if want_ema
-                       else {})
-                return type(abstract)(**out, ema_params=ema)
-            if keys is not None and saved_ema != want_ema:
-                if want_ema:
-                    # checkpoint saved with ema off (explicit {} node):
-                    # restore bare, warm-start the shadow from params
-                    bare = abstract.replace(ema_params={})
-                    out = mngr.restore(step,
-                                       args=ocp.args.StandardRestore(bare))
-                    return out.replace(
-                        ema_params=jax.tree.map(jnp.copy, out.params))
-                # checkpoint HAS a shadow the config ignores: restore it
-                # anyway (training/state.eval_params picks raw params)
-                withema = abstract.replace(ema_params=abstract.params)
-                return mngr.restore(step,
-                                    args=ocp.args.StandardRestore(withema))
+            if keys is None:
+                # Metadata unreadable (orbax metadata API moved under us):
+                # trial restores in place of the metadata decision — exact
+                # template first, then each format adaptation the metadata
+                # path would have picked. The EMA-mismatch branches fail
+                # fast on a tree mismatch, so wrong attempts are cheap.
+                first_err = None
+                for attempt in (
+                        lambda: mngr.restore(
+                            step, args=ocp.args.StandardRestore(abstract)),
+                        lambda: _restore_ema_mismatch(mngr, step, abstract,
+                                                      want_ema),
+                        lambda: _restore_pre_ema(mngr, step, abstract,
+                                                 want_ema)):
+                    try:
+                        return attempt()
+                    except Exception as e:  # orbax error types are
+                        first_err = first_err or e  # version-fragile
+                raise first_err
+            if "ema_params" not in keys:
+                return _restore_pre_ema(mngr, step, abstract, want_ema)
+            if saved_ema != want_ema:
+                return _restore_ema_mismatch(mngr, step, abstract, want_ema)
         return mngr.restore(step, args=ocp.args.StandardRestore(abstract))

@@ -9,7 +9,7 @@ cd "$(dirname "$0")/.."
 
 for ACT in gelu_sigmoid silu; do
   NAME="cifar_${ACT}_gate"
-  apv train --preset cifar_advprior_resnet \
+  apv train --preset cifar_advprior_resnet --overwrite \
     --set name=$NAME --set model.activation=$ACT \
     --set train.steps=3000 --set train.eval_every=1000 \
     --set train.checkpoint_every=3000

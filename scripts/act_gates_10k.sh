@@ -5,7 +5,7 @@ set -ex
 cd "$(dirname "$0")/.."
 for ACT in silu gelu_sigmoid; do
   NAME="cifar_${ACT}_10k"
-  apv train --preset cifar_advprior_resnet \
+  apv train --preset cifar_advprior_resnet --overwrite \
     --set name=$NAME --set model.activation=$ACT \
     --set train.steps=10000 --set train.eval_every=2000 \
     --set train.checkpoint_every=10000

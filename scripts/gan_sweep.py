@@ -77,7 +77,8 @@ def run_variant(name: str, overrides: list[str], *, steps: int,
     ] + overrides)
 
     t0 = time.perf_counter()
-    state = train_loop(cfg)
+    # overwrite: a sweep rerun into the same results root intends to retrain
+    state = train_loop(cfg, overwrite=True)
     train_s = time.perf_counter() - t0
 
     # Tail of the training metrics — d_loss (not d_acc, which saturates

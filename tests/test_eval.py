@@ -372,6 +372,21 @@ def test_log_partition_jackknife_se():
     assert float(se_big) < float(se)
 
 
+def test_log_partition_jackknife_se_dominated_chunk():
+    """One MC chunk dominating the total within float precision must not
+    produce a -inf/NaN SE: the log(e^total − e^{L_i}) leave-one-out form
+    did (log1p(-1) = -inf), and a NaN would poison eval.json. The masked
+    leave-one-out logsumexp stays finite."""
+    def d_apply(dp, z):
+        # heavy-tailed e^{D(z)}: the max draw dominates all 2000 samples
+        return 500.0 * z[:, 0]
+
+    lz, se = estimate_log_partition(d_apply, {}, 4, jax.random.PRNGKey(0),
+                                    n=2000, batch=500, with_se=True)
+    assert np.isfinite(float(lz))
+    assert np.isfinite(float(se)) and float(se) > 0
+
+
 def test_evaluate_nll_reports_log_partition_se():
     cfg = tiny_config("mnist_advprior")
     state = _init_state(cfg)

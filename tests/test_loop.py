@@ -46,6 +46,27 @@ def test_loop_resume(tmp_path):
     assert ckpt.latest_step(tmp_path / cfg.name / "checkpoints") == 9
 
 
+def test_resume_adopts_checkpoint_arch(tmp_path):
+    """api.train --resume rebuilds the CHECKPOINT's architecture: a preset
+    default that moved between runs (e.g. activation gelu→silu) must not
+    silently push the restored weights through different activations."""
+    import dataclasses
+    import json
+
+    import apv_tpu as api
+
+    cfg = _cfg(tmp_path, **{"model.activation": "relu", "train.steps": 4,
+                            "train.checkpoint_every": 2,
+                            "train.eval_every": 0})
+    api.train(cfg, max_steps=2)
+    moved = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, activation="gelu"))
+    state = api.train(moved, resume=True)
+    assert int(state.step) == 4
+    saved = json.loads((tmp_path / cfg.name / "config.json").read_text())
+    assert saved["model"]["activation"] == "relu"
+
+
 def test_resume_restores_exact_state(tmp_path):
     """Continuous 6 steps == 3 steps + checkpoint + resume 3 steps."""
     cfg = _cfg(tmp_path, **{"train.steps": 6, "train.checkpoint_every": 3,

@@ -133,6 +133,14 @@ def test_ksharded_multihost_alignment_guard(monkeypatch):
     cfg = tiny_config("mnist_vae", **{"eval.k_shards": 4})
     fns = make_train_fns(cfg)
     state = fns.init_fn(jax.random.PRNGKey(0))
-    monkeypatch.setattr(jax, "process_count", lambda: 3)   # 8//4=2 rows
+    monkeypatch.setattr(jax, "process_count", lambda: 3)   # 8//3 dev/proc
     with pytest.raises(ValueError, match="k_shards"):
         evaluate_nll(cfg, state.params, k=8, chunk=2, max_examples=32)
+
+    # pcount | n_data alone is NOT sufficient: 8 devices / 2 processes with
+    # n_k=3 gives n_data=2 (divisible by 2), but the row-major (data, k)
+    # grid puts data row 1 on devices [3,4,5] — straddling both processes.
+    cfg3 = tiny_config("mnist_vae", **{"eval.k_shards": 3})
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="straddle"):
+        evaluate_nll(cfg3, state.params, k=9, chunk=3, max_examples=32)

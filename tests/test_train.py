@@ -408,11 +408,55 @@ def test_pre_ema_checkpoint_restores(tmp_path):
         np.asarray(a), np.asarray(b)), got_on.ema_params, state.params)
 
 
+def test_restore_without_metadata_falls_back_to_trials(tmp_path, monkeypatch):
+    """When orbax item_metadata is unusable (metadata API drift —
+    _saved_keys_and_ema returns (None, False)), restore must still adapt
+    EMA-format mismatches via trial restores instead of crashing on the
+    exact-template mismatch."""
+    import dataclasses
+
+    from apv_tpu.utils import checkpoint as ckpt
+
+    cfg_off = tiny_config("mnist_vae")
+    cfg_on = tiny_config("mnist_vae", **{"train.ema_decay": 0.5})
+    batch = _synthetic_batch(cfg_off, cfg_off.train.batch_size)
+    state_off, _ = _run_steps(cfg_off, 2, batch)
+    ckpt.save_checkpoint(tmp_path / "off", jax.device_get(state_off), 2)
+
+    monkeypatch.setattr(ckpt, "_saved_keys_and_ema",
+                        lambda mngr, step: (None, False))
+
+    # bare (ema-off) checkpoint under an EMA config: exact template fails,
+    # the ema-mismatch trial restores bare and warm-starts the shadow
+    t_on = jax.eval_shape(make_train_fns(cfg_on).init_fn,
+                          jax.random.PRNGKey(0))
+    got = ckpt.restore_checkpoint(tmp_path / "off", t_on)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), got.ema_params, state_off.params)
+
+    # pre-EMA (round-1 dict) checkpoint: both TrainState trials fail, the
+    # pre-EMA dict trial lands
+    old_style = {f.name: getattr(state_off, f.name)
+                 for f in dataclasses.fields(state_off)
+                 if f.name != "ema_params"}
+    ckpt.save_checkpoint(tmp_path / "old", jax.device_get(old_style), 2)
+    t_off = jax.eval_shape(make_train_fns(cfg_off).init_fn,
+                           jax.random.PRNGKey(0))
+    got2 = ckpt.restore_checkpoint(tmp_path / "old", t_off)
+    assert got2.ema_params == {}
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), got2.params, state_off.params)
+
+
 def test_fresh_run_clears_stale_checkpoints(tmp_path):
     """A non-resume train_loop into a reused results dir must not keep old
     checkpoints: orbax skips save() for steps already on disk, so a retrain
     would otherwise write metrics for NEW weights while eval/ood silently
-    restore the OLD ones (observed on the round-3 fashion retrain)."""
+    restore the OLD ones (observed on the round-3 fashion retrain). But
+    clearing is destructive (a forgotten --resume on a smoke rerun would
+    delete hours of training), so it demands an explicit overwrite=True."""
+    import pytest
+
     from apv_tpu.training.loop import train_loop
     from apv_tpu.utils import checkpoint as ckpt
 
@@ -426,7 +470,11 @@ def test_fresh_run_clears_stale_checkpoints(tmp_path):
 
     cfg_b = tiny_config("mnist_vae", tmp_dir=str(tmp_path),
                         **{**common, "train.seed": 1})
-    final_b = train_loop(cfg_b)
+    # without overwrite: refuse, and the old checkpoint survives
+    with pytest.raises(FileExistsError, match="--resume"):
+        train_loop(cfg_b)
+    assert ckpt.latest_step(ckpt_dir) == 2
+    final_b = train_loop(cfg_b, overwrite=True)
     # different seed -> genuinely different weights
     diffs = jax.tree.leaves(jax.tree.map(
         lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
