@@ -55,6 +55,27 @@ def test_full_pipeline_config2_adversarial(tmp_path):
     assert res["adversarial_prior"] is True
 
 
+def test_result_writes_are_process0_only(tmp_path, monkeypatch):
+    """Under jax.distributed every process runs the eval compute, but only
+    process 0 may persist eval.json/ood.json — concurrent writers to one
+    shared results file would interleave (same rule as orbax saves)."""
+    import jax
+
+    cfg = tiny_config("mnist_vae", tmp_dir=str(tmp_path), **{
+        "train.steps": 2, "train.checkpoint_every": 2,
+        "train.eval_every": 0, "data.synthetic_size": 64})
+    apv_tpu.train(cfg)
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    res = apv_tpu.evaluate(cfg, k=2, activity=False)
+    assert np.isfinite(res["nll_nats"])       # compute still runs
+    assert not (tmp_path / cfg.name / "eval.json").exists()
+
+    monkeypatch.undo()
+    apv_tpu.evaluate(cfg, k=2, activity=False)
+    assert (tmp_path / cfg.name / "eval.json").exists()
+
+
 def test_eval_adopts_checkpoint_architecture(tmp_path):
     """A preset whose architecture default drifted (e.g. norm group->rms
     between rounds) must still restore an older checkpoint: eval-side entry
