@@ -117,7 +117,9 @@ def ood_both(cfg: Config, params, d_params=None, *, mesh=None,
     Forward: (in_dataset vs ood_dataset) with this checkpoint. Reverse:
     datasets swapped, scored by ``reverse`` = ``(cfg_r, params_r,
     d_params_r)`` — a model trained on ood_dataset — or by this same
-    checkpoint when no reverse model is given.
+    checkpoint when no reverse model is given. With ``score='model_ratio'``
+    and a reverse model, the reverse direction's denominator is THIS
+    checkpoint (each direction: own-dataset model over the other's).
     """
     fwd = ood_scores(cfg, params, d_params, mesh=mesh, seed=seed,
                      baseline=baseline)
@@ -127,8 +129,16 @@ def ood_both(cfg: Config, params, d_params=None, *, mesh=None,
     if reverse is not None:
         cfg_r, params_r, d_params_r = reverse
         cfg_r = dataclasses.replace(_align_to(cfg, cfg_r), ood=swapped_ood)
+        rev_baseline = baseline
+        if cfg.ood.score == "model_ratio":
+            # model_ratio roles swap with the datasets: each direction is
+            # scored with its own-dataset model as numerator and the OTHER
+            # dataset's model as denominator. Keeping the forward baseline
+            # here would make the reverse ratio identically zero whenever
+            # reverse_of == baseline_of (numerator == denominator).
+            rev_baseline = (cfg, params, d_params)
         rev = ood_scores(cfg_r, params_r, d_params_r, mesh=mesh, seed=seed,
-                         baseline=baseline)
+                         baseline=rev_baseline)
     else:
         rev = ood_scores(dataclasses.replace(cfg, ood=swapped_ood), params,
                          d_params, mesh=mesh, seed=seed, baseline=baseline)

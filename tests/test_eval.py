@@ -187,6 +187,32 @@ def test_ood_model_ratio_two_checkpoints():
                                both["reverse"]["ood_mean"], rtol=1e-6)
 
 
+def test_ood_both_model_ratio_swaps_roles():
+    """model_ratio + reverse model: the reverse direction's denominator is
+    the PRIMARY model (roles swap with the datasets). Regression: with
+    reverse_of == baseline_of the reverse ratio was numerator==denominator,
+    identically zero, AUROC degenerate at 0.5."""
+    from apv_tpu.eval.ood import ood_both
+
+    cfg = tiny_config("mnist_advprior", **{
+        "ood.in_dataset": "mnist", "ood.ood_dataset": "fashion_mnist",
+        "ood.score": "model_ratio", "ood.iwae_k": 4, "ood.iwae_chunk": 2})
+    state = _init_state(cfg)
+    cfg_b = tiny_config("mnist_vae")
+    state_b = _init_state(cfg_b)
+    other = (cfg_b, state_b.params, None)
+
+    both = ood_both(cfg, state.params, state.d_params,
+                    baseline=other, reverse=other)
+    assert abs(both["reverse"]["in_mean"]) > 1e-6
+    # same examples + same key schedule in both directions: the reverse
+    # score is the exact negation of the forward score per dataset
+    np.testing.assert_allclose(both["reverse"]["in_mean"],
+                               -both["forward"]["ood_mean"], rtol=1e-5)
+    np.testing.assert_allclose(both["reverse"]["ood_mean"],
+                               -both["forward"]["in_mean"], rtol=1e-5)
+
+
 def test_ood_both_with_reverse_model():
     from apv_tpu.eval.ood import ood_both
 
