@@ -111,6 +111,17 @@ class DataConfig:
     # the binding axis; lossless (packed ≡ unpacked, tested). Only
     # effective when binarize=True.
     bit_pack: bool = True
+    # Keep the ENTIRE training set resident in HBM (uploaded once,
+    # replicated per chip) and feed the jitted step int32 index batches
+    # instead of pixel rows; rows are gathered on device. Removes the
+    # per-step host→HBM payload — the measured bottleneck of the in-loop
+    # path on this relay (RESULTS.md dispatch table) — at the cost of one
+    # dataset-sized upload + one dataset replica per chip (CIFAR-10 uint8:
+    # 153 MB; packed MNIST: 5.9 MB). Data order, PRNG schedule, and resume
+    # bookkeeping are bit-identical to the streaming path (the index
+    # Batcher draws the same permutations). Single-process only: under
+    # jax.distributed the loop falls back to host streaming with a warning.
+    device_resident: bool = False
     data_dir: str | None = None
     synthetic_size: int | None = None          # cap fallback dataset size
 
@@ -201,14 +212,17 @@ def config_from_dict(d: dict) -> Config:
 # The MNIST conv-VAE step is ~4 ms of compute behind ~15 ms of per-dispatch
 # relay/host latency: 8 steps per lax.scan dispatch takes the measured
 # in-loop rate from ~13k to ~54k img/s/chip together with the uint8
-# binarized payload (RESULTS.md dispatch probe). CIFAR stays at 1 — its
-# step is compute-bound.
+# binarized payload (RESULTS.md dispatch probe).
 _MNIST_TRAIN = TrainConfig(steps_per_call=8)
+# HBM-resident dataset (round 3): the packed train set is 5.9 MB; feeding
+# index batches instead of pixel rows measured 223.7k -> 231.4k img/s at
+# k=8 (RESULTS.md dispatch table) and strictly shrinks the transfer.
+_MNIST_DATA = DataConfig(device_resident=True)
 
 
 def _mnist_vae() -> Config:
     """Config 1: Conv-VAE on binarized MNIST, standard Gaussian prior."""
-    return Config(name="mnist_vae", train=_MNIST_TRAIN)
+    return Config(name="mnist_vae", train=_MNIST_TRAIN, data=_MNIST_DATA)
 
 
 def _mnist_advprior() -> Config:
@@ -225,6 +239,7 @@ def _mnist_advprior() -> Config:
     return Config(
         name="mnist_advprior",
         train=_MNIST_TRAIN,
+        data=_MNIST_DATA,
         adversarial=AdversarialConfig(enabled=True, label_smoothing=0.1,
                                       d_lr=4e-4),
     )
@@ -252,9 +267,16 @@ def _cifar_advprior_resnet() -> Config:
         # label smoothing keeps D off the saturation plateau observed in
         # full-scale runs (d_loss -> 5e-4 by step 2500 without it)
         adversarial=AdversarialConfig(enabled=True, label_smoothing=0.1),
+        # device_resident + steps_per_call=8 (round 3): with the dataset in
+        # HBM the old CIFAR multi-step objection (3 MB host-stacked
+        # payloads) vanishes — index stacks are 4 B/image. Measured
+        # in-loop: streaming k=1 26.6 ms/step -> resident k=1 17.1 ->
+        # resident k=8 13.8 ms/step (18.5k img/s, the compute ceiling;
+        # RESULTS.md dispatch table). CIFAR-10 uint8 resident: 153 MB/chip.
         train=TrainConfig(batch_size=256, steps=100_000, lr=5e-4,
-                          beta_warmup_steps=5_000),
-        data=DataConfig(dataset="cifar10", binarize=False, dequantize=True),
+                          beta_warmup_steps=5_000, steps_per_call=8),
+        data=DataConfig(dataset="cifar10", binarize=False, dequantize=True,
+                        device_resident=True),
     )
 
 

@@ -22,8 +22,10 @@ import time
 import jax
 
 
-def probe(preset: str, bit_pack: bool, k: int, *, windows: int = 5,
-          steps_per_window: int = 240) -> dict:
+def probe(preset: str, bit_pack: bool, k: int, *, resident: bool = False,
+          windows: int = 5, steps_per_window: int = 240) -> dict:
+    import numpy as np
+
     from apv_tpu.data import Batcher, prefetch_to_device, stack_batches
     from apv_tpu.parallel import (data_sharding, make_mesh, replicated,
                                   stacked_data_sharding)
@@ -40,14 +42,27 @@ def probe(preset: str, bit_pack: bool, k: int, *, windows: int = 5,
     state = jax.jit(fns.init_fn, out_shardings=replicated(mesh))(
         jax.random.PRNGKey(0))
     arrays, _ = load_train_arrays(cfg)      # synthetic fallback, packed per cfg
-    batcher = Batcher(arrays, cfg.train.batch_size, seed=0)
+    base_fn = fns.multi_step if k > 1 else fns.train_step
+    if resident:
+        # data.device_resident path: HBM-resident dataset, int32 index
+        # batches, on-device row gather (training/loop.py wiring).
+        dataset_dev = {kk: jax.device_put(v, replicated(mesh))
+                       for kk, v in arrays.items()}
+
+        from apv_tpu.training.loop import make_resident_step
+        jit_fn = jax.jit(make_resident_step(base_fn), donate_argnums=0)
+        fn = lambda s, b: jit_fn(s, b, dataset_dev)   # noqa: E731
+        n_rows = len(next(iter(arrays.values())))
+        batcher = Batcher({"_index": np.arange(n_rows, dtype=np.int32)},
+                          cfg.train.batch_size, seed=0)
+    else:
+        fn = jax.jit(base_fn, donate_argnums=0)
+        batcher = Batcher(arrays, cfg.train.batch_size, seed=0)
     if k > 1:
         batches = prefetch_to_device(stack_batches(iter(batcher), k),
                                      stacked_data_sharding(mesh))
-        fn = jax.jit(fns.multi_step, donate_argnums=0)
     else:
         batches = prefetch_to_device(iter(batcher), data_sharding(mesh))
-        fn = jax.jit(fns.train_step, donate_argnums=0)
 
     def sync(m):
         loss = m["loss"]
@@ -68,7 +83,9 @@ def probe(preset: str, bit_pack: bool, k: int, *, windows: int = 5,
     steps = calls_per_window * k
     payload = next(iter(arrays.values()))
     return {"preset": preset, "bit_pack": bit_pack, "steps_per_call": k,
-            "bytes_per_image": int(payload.nbytes // len(payload)),
+            "device_resident": resident,
+            "bytes_per_image": 4 if resident
+            else int(payload.nbytes // len(payload)),
             "step_ms": round(best / steps * 1e3, 3),
             "images_per_sec": round(cfg.train.batch_size * steps / best, 0)}
 
@@ -76,6 +93,15 @@ def probe(preset: str, bit_pack: bool, k: int, *, windows: int = 5,
 def main() -> None:
     from apv_tpu.utils.compcache import enable_default_cache
     enable_default_cache()
+    if sys.argv[1:2] == ["--resident"]:
+        # A/B the HBM-resident dataset path against streaming at the
+        # recorded operating points (RESULTS.md dispatch table).
+        for preset, k in (("mnist_advprior", 8), ("mnist_advprior", 32),
+                          ("cifar_advprior_resnet", 1)):
+            for resident in (False, True):
+                print(json.dumps(probe(preset, True, k, resident=resident)),
+                      flush=True)
+        return
     presets = sys.argv[1:] or ["mnist_vae", "mnist_advprior"]
     for preset in presets:
         for bit_pack in (False, True):

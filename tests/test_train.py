@@ -486,3 +486,37 @@ def test_fresh_run_clears_stale_checkpoints(tmp_path):
     # the checkpoint on disk is run B's, not run A's stale one
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), restored.params, final_b.params)
+
+
+def test_device_resident_matches_streaming(tmp_path):
+    """data.device_resident parity: the HBM-resident dataset + on-device
+    index gather must reproduce the streaming loop exactly — same
+    permutation schedule, same rows, same final params — including under
+    steps_per_call>1 (stacked [k, B] index batches) and across a
+    checkpoint/resume boundary."""
+    from apv_tpu.training.loop import train_loop
+
+    common = {"train.steps": 4, "train.eval_every": 2,
+              "train.checkpoint_every": 2,
+              "data.synthetic_size": 512, "train.valid_fraction": 0.125}
+    finals = {}
+    for mode in ("stream", "resident", "resident_k2"):
+        cfg = tiny_config("mnist_vae", tmp_dir=str(tmp_path / mode), **{
+            **common,
+            "data.device_resident": mode != "stream",
+            "train.steps_per_call": 2 if mode == "resident_k2" else 1})
+        finals[mode] = train_loop(cfg)
+    for mode in ("resident", "resident_k2"):
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
+            finals["stream"].params, finals[mode].params)
+
+    # resume under resident mode: 2 steps, restart, 2 more -> same params
+    cfg_r = tiny_config("mnist_vae", tmp_dir=str(tmp_path / "resume"), **{
+        **common, "data.device_resident": True})
+    train_loop(cfg_r, max_steps=2)
+    resumed = train_loop(cfg_r, resume=True)
+    assert int(resumed.step) == 4
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
+        finals["resident"].params, resumed.params)
