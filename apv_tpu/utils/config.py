@@ -283,9 +283,13 @@ def _cifar_advprior_resnet() -> Config:
 def _iwae_eval() -> Config:
     """Config 4: IWAE-k evaluation pipeline, k=1000, bits/dim reporting."""
     cfg = _cifar_advprior_resnet()
+    # iwae_chunk=25: measured fastest k=1000 scan chunk for the flagship
+    # decoder (114 img/s vs 87 at 50, 73-99 at 8/10/20/40 — reproduced
+    # best-of-3-window runs, scripts/iwae_chunk_probe.py). Chunk size is
+    # math-invariant (tests/test_iwae.py chunk-invariance).
     return dataclasses.replace(cfg, name="iwae_eval",
                                checkpoint_of="cifar_advprior_resnet",
-                               eval=EvalConfig(iwae_k=1_000, iwae_chunk=50))
+                               eval=EvalConfig(iwae_k=1_000, iwae_chunk=25))
 
 
 def _ood_suite() -> Config:
