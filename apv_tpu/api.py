@@ -45,8 +45,13 @@ def _adopt_checkpoint_arch(cfg: Config, overrides: list[str] | None,
     """Snap architecture-defining sections to the checkpoint's own saved
     config (round-2 advisor: a preset whose default moved — e.g. norm
     group→rms — must not build a mismatched restore template for an older
-    checkpoint). Explicit CLI overrides are re-applied afterwards, so the
-    user can still force a section knowingly."""
+    checkpoint). The ``data`` section is adopted too: preprocessing must
+    match training (scoring a binarized-trained Bernoulli model on
+    unbinarized [0,1] levels — e.g. an MNIST checkpoint through the
+    CIFAR-derived ``ood_suite`` preset, whose data.binarize=False — is a
+    silent train/eval protocol mismatch, found round 3). Explicit CLI
+    overrides are re-applied afterwards, so the user can still force a
+    section knowingly."""
     import dataclasses
 
     saved = _saved_config(cfg, checkpoint_dir)
@@ -54,6 +59,7 @@ def _adopt_checkpoint_arch(cfg: Config, overrides: list[str] | None,
         return cfg
     cfg = dataclasses.replace(cfg, model=saved.model,
                               adversarial=saved.adversarial,
+                              data=saved.data,
                               train=dataclasses.replace(
                                   cfg.train, ema_decay=saved.train.ema_decay,
                                   seed=saved.train.seed))
@@ -108,7 +114,14 @@ def train(config: str | Config = "mnist_vae", *,
         # through new activations; same hazard _adopt_checkpoint_arch
         # guards on the eval-side entry points). Also restores the original
         # train.seed so Batcher.iter_from reproduces the run's data order.
-        cfg = _adopt_checkpoint_arch(cfg, overrides)
+        # Only when a checkpoint actually exists: config.json is written at
+        # loop start (before any save), so a dir holding only config.json
+        # from a crashed run must not silently pin a from-scratch run to
+        # the dead run's architecture.
+        from apv_tpu.utils import checkpoint as ckpt
+        ckpt_dir = Path(cfg.results_dir) / cfg.name / "checkpoints"
+        if ckpt.latest_step(ckpt_dir) is not None:
+            cfg = _adopt_checkpoint_arch(cfg, overrides)
     return train_loop(cfg, resume=resume, max_steps=max_steps,
                       trace_dir=trace_dir, overwrite=overwrite)
 

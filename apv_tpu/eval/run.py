@@ -59,6 +59,19 @@ def _host_shard() -> tuple[int, int] | None:
     return host_shard()
 
 
+def _eval_batch_size(requested: int, n_rows: int) -> int:
+    """Effective eval batch: capped by the split size and, under
+    jax.distributed, rounded down to a process-count multiple (Batcher
+    requires the global batch to split evenly across hosts — mirror of
+    the train loop's valid-batch rounding, training/loop.py)."""
+    bs = min(requested, n_rows)
+    hs = _host_shard()
+    if hs is not None:
+        pcount = hs[1]
+        bs = max(pcount, (bs // pcount) * pcount)
+    return bs
+
+
 def _local_rows(arr: jax.Array) -> np.ndarray:
     """This process's rows of a first-axis-sharded global array, in global
     row order (single process: all rows — identical to np.asarray).
@@ -105,7 +118,8 @@ def posterior_activity(cfg: Config, params, *, mesh=None,
 
     arrays = eval_arrays(cfg, dataset, max_examples or cfg.eval.max_examples)
     batch_size = batch_size if batch_size is not None else cfg.eval.batch_size
-    batcher = Batcher(arrays, min(batch_size, len(arrays["image"])),
+    batcher = Batcher(arrays,
+                      _eval_batch_size(batch_size, len(arrays["image"])),
                       shuffle=False, host_shard=_host_shard())
     params = jax.device_put(params, replicated(mesh))
     pcount = jax.process_count()
@@ -226,7 +240,8 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
     # Under jax.distributed each process cuts only its row block of every
     # global batch; prefetch_to_device assembles the global sharded array
     # (multihost.put_batch) exactly as the train loop does.
-    batcher = Batcher(arrays, min(batch_size, len(arrays["image"])),
+    batcher = Batcher(arrays,
+                      _eval_batch_size(batch_size, len(arrays["image"])),
                       shuffle=False, host_shard=_host_shard())
     shard = data_sharding(mesh)
     rep = replicated(mesh)

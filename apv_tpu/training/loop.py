@@ -81,28 +81,34 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
     # Multi-host: every process runs the same compute; only process 0
     # persists (two orbax saves to one shared dir would race).
     primary = jax.process_index() == 0
-    if not resume and primary and ckpt.latest_step(ckpt_dir) is not None:
+    stale_step = None if resume else ckpt.latest_step(ckpt_dir)
+    if stale_step is not None:
         # Orbax skips save() for steps already on disk, so a fresh run into
         # a reused results dir would train new weights but silently KEEP the
         # old checkpoints at overlapping steps (and eval/ood would score the
         # stale model). A non-resume run owns its results dir — but deleting
         # hours of trained checkpoints because someone forgot --resume on a
         # smoke rerun is worse, so clearing needs an explicit opt-in.
+        # The refusal is raised on EVERY process (a primary-only raise
+        # would leave the other hosts blocking in the first collective);
+        # only the destructive clear is primary-only.
         if not overwrite:
             raise FileExistsError(
                 f"{ckpt_dir} already holds a checkpoint (step "
-                f"{ckpt.latest_step(ckpt_dir)}). A fresh run would clear it "
+                f"{stale_step}). A fresh run would clear it "
                 "and retrain from scratch. Pass --resume to continue that "
                 "run, --overwrite to destroy it, or a different name "
                 "(--set name=...) to keep both.")
-        import shutil
-        shutil.rmtree(ckpt_dir)
-        best_dir = results_dir / "best"
-        if best_dir.exists():
-            shutil.rmtree(best_dir)
-        print(f"cleared stale checkpoints under {results_dir} "
-              "(fresh run into an existing results dir; use --resume to "
-              "continue instead)", flush=True)
+        if primary:
+            # Clear the WHOLE results dir, not just checkpoints/ + best/:
+            # metrics.jsonl is opened in append mode (two runs would
+            # interleave) and best/eval/ood JSONs describe the destroyed
+            # model. The loop rewrites config.json below.
+            import shutil
+            shutil.rmtree(results_dir)
+            print(f"cleared stale results under {results_dir} "
+                  "(fresh run into an existing results dir; use --resume "
+                  "to continue instead)", flush=True)
 
     state = jax.jit(fns.init_fn, out_shardings=replicated(mesh))(
         jax.random.PRNGKey(cfg.train.seed))

@@ -85,20 +85,6 @@ def pallas_conv(x, w, tile_b: int = 4):
     )(xp, w)
 
 
-def bench(fn, x, w, *, windows=5, reps=20) -> float:
-    f = jax.jit(fn)
-    y = f(x, w)
-    float(y[0, 0, 0, 0])                 # compile + readback sync
-    best = float("inf")
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            y = f(x, w)
-        float(y[0, 0, 0, 0])
-        best = min(best, time.perf_counter() - t0)
-    return best / reps
-
-
 def bench_chained(fn, x, w, *, n_iter=50, windows=5, reps=4) -> float:
     """Per-conv time with the dispatch floor amortized away: Cin==Cout and
     SAME padding make the conv shape-preserving, so 50 convs chain inside

@@ -457,3 +457,16 @@ def test_assemble_global_reorders_process_major_gather():
     gathered = np.stack([np.stack(h0), np.stack(h1)])     # [P=2, 2, 4]
     flat = gathered.transpose(1, 0, 2).reshape(-1)
     np.testing.assert_array_equal(flat, np.arange(16, dtype=np.float32))
+
+
+def test_eval_batch_size_rounds_to_host_multiple(monkeypatch):
+    """Under jax.distributed the eval batch must split evenly across hosts
+    (Batcher contract) — mirror of the train loop's valid-batch rounding."""
+    from apv_tpu.eval import run as eval_run
+
+    monkeypatch.setattr(eval_run, "_host_shard", lambda: (0, 4))
+    assert eval_run._eval_batch_size(50, 1000) == 48
+    assert eval_run._eval_batch_size(64, 50) == 48
+    assert eval_run._eval_batch_size(3, 1000) == 4   # floor: one row/host
+    monkeypatch.setattr(eval_run, "_host_shard", lambda: None)
+    assert eval_run._eval_batch_size(64, 50) == 50

@@ -97,3 +97,74 @@ def test_eval_adopts_checkpoint_architecture(tmp_path):
 
     res2 = apv_tpu.evaluate(drifted, k=2)
     assert res2["active_units"] <= 8          # the CHECKPOINT's z_dim (8)
+
+
+def test_eval_adopts_checkpoint_data_protocol(tmp_path):
+    """Eval-side entry points must adopt the checkpoint's DATA section too:
+    scoring a binarized-trained Bernoulli model through a config whose
+    data.binarize drifted to False (the CIFAR-derived ood_suite preset)
+    would silently feed continuous [0,1] levels — a train/eval protocol
+    mismatch (round-3 review finding)."""
+    from apv_tpu.api import _adopt_checkpoint_arch
+
+    cfg = tiny_config("mnist_vae", tmp_dir=str(tmp_path), **{
+        "train.steps": 2, "train.checkpoint_every": 2,
+        "train.eval_every": 0, "data.synthetic_size": 64})
+    apv_tpu.train(cfg)
+
+    drifted = tiny_config("mnist_vae", tmp_dir=str(tmp_path), **{
+        "data.binarize": False, "data.synthetic_size": 64})
+    adopted = _adopt_checkpoint_arch(drifted, None)
+    assert adopted.data.binarize is True        # checkpoint's protocol wins
+    # explicit overrides still outrank the adoption
+    forced = _adopt_checkpoint_arch(drifted, ["data.binarize=false"])
+    assert forced.data.binarize is False
+
+    # end-to-end: the drifted config scores identically to the original
+    res_orig = apv_tpu.evaluate(cfg, k=2, activity=False)
+    res_drift = apv_tpu.evaluate(drifted, k=2, activity=False)
+    np.testing.assert_allclose(res_drift["nll_nats"], res_orig["nll_nats"],
+                               rtol=1e-6)
+
+
+def test_resume_without_checkpoint_keeps_requested_config(tmp_path):
+    """A results dir holding config.json but NO checkpoint (run crashed
+    before the first save) must not pin a resumed run to the dead run's
+    architecture: config.json is written at loop start, so resume only
+    adopts it when a checkpoint actually exists."""
+    import dataclasses
+    import json
+
+    stale = tiny_config("mnist_vae", tmp_dir=str(tmp_path),
+                        **{"model.z_dim": 12})
+    run_dir = tmp_path / stale.name
+    run_dir.mkdir(parents=True)
+    (run_dir / "config.json").write_text(
+        json.dumps(dataclasses.asdict(stale)))
+
+    fresh = tiny_config("mnist_vae", tmp_dir=str(tmp_path), **{
+        "train.steps": 2, "train.checkpoint_every": 2,
+        "train.eval_every": 0, "data.synthetic_size": 64})
+    state = apv_tpu.train(fresh, resume=True)
+    head = state.params["encoder"]["gaussian_head"]["kernel"]
+    assert head.shape[-1] == 2 * fresh.model.z_dim   # 8, not the stale 12
+
+
+def test_overwrite_clears_stale_run_artifacts(tmp_path):
+    """overwrite=True must clear the WHOLE results dir: metrics.jsonl is
+    append-mode (two runs would interleave) and best/eval/ood JSONs
+    describe the destroyed model."""
+    cfg = tiny_config("mnist_vae", tmp_dir=str(tmp_path), **{
+        "train.steps": 2, "train.checkpoint_every": 2,
+        "train.eval_every": 0, "data.synthetic_size": 64})
+    apv_tpu.train(cfg)
+    run_dir = tmp_path / cfg.name
+    (run_dir / "eval.json").write_text("{\"stale\": true}")
+    n_lines_one_run = len(
+        (run_dir / "metrics.jsonl").read_text().splitlines())
+    assert n_lines_one_run > 0
+
+    apv_tpu.train(cfg, overwrite=True)
+    assert not (run_dir / "eval.json").exists()
+    assert len((run_dir / "metrics.jsonl").read_text().splitlines()) \
+        == n_lines_one_run                       # not appended twice
