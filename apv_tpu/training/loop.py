@@ -138,13 +138,6 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
     host_shard = multihost.host_shard()
 
     resident = cfg.data.device_resident
-    if resident and jax.process_count() > 1:
-        # Replicating the full set from every process onto a global mesh
-        # needs a cross-host array assembly this loop doesn't do; stream.
-        print("warning: data.device_resident ignored under multi-host "
-              "(falling back to host streaming)", flush=True)
-        resident = False
-
     if resident:
         # HBM-resident dataset: upload the full (binarized/packed) train
         # arrays once, replicated per chip; the Batcher then runs over a
@@ -152,9 +145,12 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
         # yielded index batches select exactly the rows the streaming path
         # would have shipped, so order/resume semantics are unchanged and
         # the per-step host→HBM payload drops to 4 bytes/image.
+        # Multi-host: every process loads the same full arrays (loaders
+        # are deterministic; host filtering happens at batch cutting), so
+        # put_batch's make_array_from_process_local_data assembles the
+        # fully-replicated global array from identical local copies.
         n_rows = len(next(iter(train_arrays.values())))
-        dataset_dev = {kk: jax.device_put(v, replicated(mesh))
-                       for kk, v in train_arrays.items()}
+        dataset_dev = multihost.put_batch(train_arrays, replicated(mesh))
         base_fn = fns.multi_step if k > 1 else fns.train_step
         jit_fn = jax.jit(make_resident_step(base_fn), donate_argnums=0)
         step_fn = lambda state, batch: jit_fn(state, batch, dataset_dev)  # noqa: E731

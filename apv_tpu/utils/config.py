@@ -119,8 +119,9 @@ class DataConfig:
     # dataset-sized upload + one dataset replica per chip (CIFAR-10 uint8:
     # 153 MB; packed MNIST: 5.9 MB). Data order, PRNG schedule, and resume
     # bookkeeping are bit-identical to the streaming path (the index
-    # Batcher draws the same permutations). Single-process only: under
-    # jax.distributed the loop falls back to host streaming with a warning.
+    # Batcher draws the same permutations). Multi-host: every process
+    # uploads the same full arrays and the replicated global array is
+    # assembled via multihost.put_batch — same contract as batches.
     device_resident: bool = False
     data_dir: str | None = None
     synthetic_size: int | None = None          # cap fallback dataset size
