@@ -270,7 +270,9 @@ def export_artifact(config: str | Config = "mnist_vae", *,
             raise ValueError("quantize is sampler-only: a silently "
                              "full-precision scorer artifact would "
                              "masquerade as quantized")
-        return serving.export_scorer(cfg, _p(state, cfg), out)
+        d_params = state.d_params if cfg.adversarial.enabled else None
+        return serving.export_scorer(cfg, _p(state, cfg), out,
+                                     d_params=d_params)
     raise ValueError(f"unknown artifact {what!r} (sampler|scorer)")
 
 

@@ -36,6 +36,34 @@ def sample_posterior_chunk(chunk_key, mean, logvar, chunk: int):
     return ops.reparam_sample(chunk_key, mean_k, logvar_k)
 
 
+def make_logw_chunk_fn(decode: Callable, likelihood: str, chunk: int,
+                       d_apply: Callable | None = None) -> Callable:
+    """One-chunk log importance weights [chunk, B] — the ONE place the
+    IWAE estimator math lives. Shared by the unsharded scan
+    (``make_iwae_fn``) and the k-sharded shard_map (``eval/sharded.py``)
+    so a likelihood/prior-correction change cannot silently diverge the
+    two paths."""
+
+    def logw_chunk(params, d_params, mean, logvar, x_target, chunk_key,
+                   log_z):
+        b = mean.shape[0]
+        z = sample_posterior_chunk(chunk_key, mean, logvar, chunk)
+        zf = z.reshape(chunk * b, -1)
+        out = decode(params, zf)
+        xt = jnp.broadcast_to(x_target[None], (chunk,) + x_target.shape)
+        recon = recon_log_likelihood(
+            xt.reshape((chunk * b,) + x_target.shape[1:]), out,
+            likelihood).reshape(chunk, b)
+        logp0 = jnp.sum(D.standard_gaussian_logpdf(z), axis=-1)
+        logq = jnp.sum(D.gaussian_logpdf(z, mean, logvar), axis=-1)
+        logw = recon + logp0 - logq
+        if d_apply is not None:
+            logw = logw + d_apply(d_params, zf).reshape(chunk, b) - log_z
+        return logw
+
+    return logw_chunk
+
+
 def make_iwae_fn(model, likelihood: str, k: int, chunk: int,
                  d_apply: Callable | None = None) -> Callable:
     """Build ``fn(params, d_params, x_in, x_target, key, log_z) -> [B]``.
@@ -51,24 +79,15 @@ def make_iwae_fn(model, likelihood: str, k: int, chunk: int,
     def decode(params, z):
         return model.apply({"params": params}, z, method="decode")
 
+    logw_chunk = make_logw_chunk_fn(decode, likelihood, chunk, d_apply)
+
     def iwae_fn(params, d_params, x_in, x_target, key, log_z=0.0):
         mean, logvar = encode(params, x_in)          # [B, Z], once
         b = mean.shape[0]
 
         def logw_fn(chunk_key):
-            z = sample_posterior_chunk(chunk_key, mean, logvar, chunk)
-            zf = z.reshape(chunk * b, -1)
-            out = decode(params, zf)
-            xt = jnp.broadcast_to(x_target[None], (chunk,) + x_target.shape)
-            recon = recon_log_likelihood(
-                xt.reshape((chunk * b,) + x_target.shape[1:]), out,
-                likelihood).reshape(chunk, b)
-            logp0 = jnp.sum(D.standard_gaussian_logpdf(z), axis=-1)
-            logq = jnp.sum(D.gaussian_logpdf(z, mean, logvar), axis=-1)
-            logw = recon + logp0 - logq
-            if d_apply is not None:
-                logw = logw + d_apply(d_params, zf).reshape(chunk, b) - log_z
-            return logw
+            return logw_chunk(params, d_params, mean, logvar, x_target,
+                              chunk_key, log_z)
 
         return iwae_log_likelihood(logw_fn, key, k=k, chunk_size=chunk,
                                    out_shape=(b,))

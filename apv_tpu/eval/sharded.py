@@ -26,10 +26,8 @@ try:
 except ImportError:                      # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from apv_tpu.core import distributions as D
 from apv_tpu.core.iwae import (LogSumExpState, streaming_logsumexp_init,
                                streaming_logsumexp_update)
-from apv_tpu.training.losses import recon_log_likelihood
 
 DATA_AXIS = "data"
 K_AXIS = "k"
@@ -71,23 +69,9 @@ def make_sharded_iwae_fn(model, likelihood: str, k: int, chunk: int,
     def decode(params, z):
         return model.apply({"params": params}, z, method="decode")
 
-    def local_logw_chunk(params, d_params, mean, logvar, x_target, key,
-                         log_z):
-        b = mean.shape[0]
-        from apv_tpu.eval.iwae_eval import sample_posterior_chunk
-        z = sample_posterior_chunk(key, mean, logvar, chunk)
-        zf = z.reshape(chunk * b, -1)
-        out = decode(params, zf)
-        xt = jnp.broadcast_to(x_target[None], (chunk,) + x_target.shape)
-        recon = recon_log_likelihood(
-            xt.reshape((chunk * b,) + x_target.shape[1:]), out,
-            likelihood).reshape(chunk, b)
-        logp0 = jnp.sum(D.standard_gaussian_logpdf(z), axis=-1)
-        logq = jnp.sum(D.gaussian_logpdf(z, mean, logvar), axis=-1)
-        logw = recon + logp0 - logq
-        if d_apply is not None:
-            logw = logw + d_apply(d_params, zf).reshape(chunk, b) - log_z
-        return logw
+    from apv_tpu.eval.iwae_eval import make_logw_chunk_fn
+    local_logw_chunk = make_logw_chunk_fn(decode, likelihood, chunk, d_apply)
+    n_data = mesh.shape[DATA_AXIS]
 
     def shard_fn(params, d_params, x_in, x_target, key, log_z):
         # x_in/x_target arrive as this chip's data shard; params replicated.
@@ -98,6 +82,15 @@ def make_sharded_iwae_fn(model, likelihood: str, k: int, chunk: int,
         # identical to the unsharded scan order when n_k == 1.
         n_chunks_local = k_local // chunk
         base = k_idx * n_chunks_local
+        if n_data > 1:
+            # Decorrelate posterior noise across data shards: the noise
+            # draw depends only on (key, local shape), so without this
+            # every data shard consumes the IDENTICAL [chunk, b, Z]
+            # stream — importance samples would be correlated across
+            # shard-aligned rows (found round 3, reproduced bitwise).
+            # n_data == 1 keeps the key schedule exactly equal to the
+            # unsharded estimator's (the n_k-equivalence contract).
+            key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
 
         def body(state: LogSumExpState, i):
             chunk_key = jax.random.fold_in(key, base + i)
@@ -124,21 +117,3 @@ def make_sharded_iwae_fn(model, likelihood: str, k: int, chunk: int,
         in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
         out_specs=P(DATA_AXIS),
     )
-
-
-def unsharded_reference_fn(model, likelihood: str, k: int, chunk: int,
-                           d_apply: Callable | None = None):
-    """Single-device estimator with the SAME fold_in key schedule as the
-    sharded version (for exact n_k=1 equivalence tests)."""
-
-    def encode(params, x):
-        return model.apply({"params": params}, x, method="encode")
-
-    def fn(params, d_params, x_in, x_target, key, log_z=0.0):
-        mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
-                    (DATA_AXIS, K_AXIS))
-        sharded = make_sharded_iwae_fn(model, likelihood, k, chunk, mesh,
-                                       d_apply)
-        return sharded(params, d_params, x_in, x_target, key, log_z)
-
-    return fn

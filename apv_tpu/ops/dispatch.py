@@ -9,6 +9,7 @@ elementwise math with its reduction in VMEM.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 import jax
@@ -38,6 +39,24 @@ def get_backend() -> str:
     if _BACKEND is None:
         _BACKEND = _default_backend()
     return _BACKEND
+
+
+@contextlib.contextmanager
+def backend(name: str):
+    """Temporarily pin the ops backend for the enclosed trace.
+
+    The one production use is portable export (serving.py): on a TPU host
+    the default 'pallas' tier would bake Mosaic pallas_calls into the
+    traced graph, which cannot lower for the 'cpu' entry of a
+    multi-platform StableHLO export — the artifact must trace the jnp
+    tier regardless of the host backend."""
+    global _BACKEND
+    prev = _BACKEND
+    set_backend(name)
+    try:
+        yield
+    finally:
+        _BACKEND = prev
 
 
 def _flat(x: jax.Array) -> jax.Array:

@@ -20,6 +20,7 @@ from jax import export as jax_export
 
 from apv_tpu.data.preprocess import normalize_center
 from apv_tpu.models import LatentDiscriminator, build_model
+from apv_tpu.ops import dispatch as ops_dispatch
 from apv_tpu.sampling.run import sample_prior
 from apv_tpu.training.losses import (decoder_output_to_likelihood_params,
                                   elbo_terms)
@@ -55,8 +56,11 @@ def _sampler_fn(cfg: Config, params, d_params):
     return fn
 
 
-def _scorer_fn(cfg: Config, params):
+def _scorer_fn(cfg: Config, params, d_params=None, log_z: float = 0.0):
     model = build_model(cfg.model)
+    use_adv = cfg.adversarial.enabled and d_params is not None
+    disc = (LatentDiscriminator(tuple(cfg.adversarial.d_widths))
+            if use_adv else None)
 
     def encode(p, x):
         return model.apply({"params": p}, x, method="encode")
@@ -71,13 +75,21 @@ def _scorer_fn(cfg: Config, params):
         binarized configs feed x straight through; continuous (CIFAR)
         configs center the encoder input to [-1,1] while the likelihood
         scores the raw [0,1] levels — the training/eval distribution the
-        encoder was fit on.
+        encoder was fit on. Adversarial checkpoints score under the
+        LEARNED prior — recon − KL(q‖p₀) + D(z) − log Z, the same
+        correction the in-repo eval/OOD 'elbo' path applies — so serving
+        artifacts rank identically to ood.json (a plain-prior artifact
+        from an adversarial checkpoint would silently score a different
+        model; round-3 review finding).
         """
         x_in = x if cfg.data.binarize else normalize_center(x)
-        recon, kl, _ = elbo_terms(encode, decode, params, x_in, x,
+        recon, kl, z = elbo_terms(encode, decode, params, x_in, x,
                                   jax.random.PRNGKey(seed),
                                   cfg.model.likelihood)
-        return recon - kl
+        elbo = recon - kl
+        if use_adv:
+            elbo = elbo + disc.apply({"params": d_params}, z) - log_z
+        return elbo
 
     return fn
 
@@ -145,8 +157,12 @@ def export_sampler(cfg: Config, params, d_params, out_path: str | Path,
         fn = _sampler_fn(cfg, params, d_params)
     else:
         raise ValueError(f"unknown quantize mode {quantize!r} (int8)")
-    exp = jax_export.export(jax.jit(fn), platforms=_PLATFORMS)(
-        jax.ShapeDtypeStruct((), jnp.int32))
+    with ops_dispatch.backend("jnp"):
+        # Trace the jnp ops tier: on a TPU host the default pallas tier
+        # would bake Mosaic calls that cannot lower for the 'cpu' entry
+        # of the multi-platform export.
+        exp = jax_export.export(jax.jit(fn), platforms=_PLATFORMS)(
+            jax.ShapeDtypeStruct((), jnp.int32))
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     out_path.write_bytes(exp.serialize())
@@ -154,23 +170,35 @@ def export_sampler(cfg: Config, params, d_params, out_path: str | Path,
 
 
 def export_scorer(cfg: Config, params, out_path: str | Path, *,
-                  polymorphic_batch: bool = True) -> Path:
+                  d_params=None, polymorphic_batch: bool = True) -> Path:
     """Serialize the per-sample ELBO scorer.
 
     By default the batch axis is exported SYMBOLIC (``jax.export`` shape
     polymorphism): one artifact scores any batch size, so serving-side
     batching policy is free to change without re-exporting. Pass
     ``polymorphic_batch=False`` to pin ``cfg.eval.batch_size`` (lets XLA
-    specialize, e.g. for a fixed-shape accelerator deployment)."""
+    specialize, e.g. for a fixed-shape accelerator deployment).
+
+    With ``d_params`` (adversarial checkpoints) the artifact scores under
+    the learned prior; log Z is MC-estimated here (n=100k, fixed key) and
+    baked in as a constant."""
     h, w, c = cfg.model.image_shape
-    fn = _scorer_fn(cfg, params)
+    log_z = 0.0
+    if cfg.adversarial.enabled and d_params is not None:
+        from apv_tpu.eval.iwae_eval import estimate_log_partition
+        disc = LatentDiscriminator(tuple(cfg.adversarial.d_widths))
+        log_z = float(estimate_log_partition(
+            lambda dp, z: disc.apply({"params": dp}, z), d_params,
+            cfg.model.z_dim, jax.random.PRNGKey(0)))
+    fn = _scorer_fn(cfg, params, d_params, log_z)
     if polymorphic_batch:
         (b,) = jax_export.symbolic_shape("b")
     else:
         b = cfg.eval.batch_size
-    exp = jax_export.export(jax.jit(fn), platforms=_PLATFORMS)(
-        jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
-        jax.ShapeDtypeStruct((), jnp.int32))
+    with ops_dispatch.backend("jnp"):
+        exp = jax_export.export(jax.jit(fn), platforms=_PLATFORMS)(
+            jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.int32))
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     out_path.write_bytes(exp.serialize())

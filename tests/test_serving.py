@@ -160,3 +160,51 @@ def test_scorer_polymorphic_batch(tmp_path):
         polymorphic_batch=False))
     x = (rng.random((4, 28, 28, 1)) < 0.4).astype(np.float32)
     assert np.asarray(pinned.call(jnp.asarray(x), jnp.int32(0))).shape == (4,)
+
+
+def test_scorer_adversarial_learned_prior(tmp_path):
+    """Scorer artifacts from adversarial checkpoints must score under the
+    LEARNED prior (recon − KL + D(z) − log Z), matching the in-repo
+    eval/OOD 'elbo' correction — a plain-prior artifact would silently
+    rank differently from ood.json (round-3 review finding)."""
+    from apv_tpu.models import LatentDiscriminator, build_model
+    from apv_tpu.training.losses import elbo_terms
+
+    cfg = tiny_config("mnist_advprior", **{"eval.batch_size": 4})
+    state = _state(cfg)
+    rng = np.random.default_rng(2)
+    x = (rng.random((4, 28, 28, 1)) < 0.4).astype(np.float32)
+
+    path = serving.export_scorer(cfg, state.params, tmp_path / "s.stablehlo",
+                                 d_params=state.d_params)
+    got = np.asarray(serving.load_exported(path).call(jnp.asarray(x),
+                                                      jnp.int32(3)))
+
+    from apv_tpu.eval.iwae_eval import estimate_log_partition
+    disc = LatentDiscriminator(tuple(cfg.adversarial.d_widths))
+    log_z = float(estimate_log_partition(
+        lambda dp, z: disc.apply({"params": dp}, z), state.d_params,
+        cfg.model.z_dim, jax.random.PRNGKey(0)))
+    model = build_model(cfg.model)
+    recon, kl, z = elbo_terms(
+        lambda p, xx: model.apply({"params": p}, xx, method="encode"),
+        lambda p, zz: model.apply({"params": p}, zz, method="decode"),
+        state.params, jnp.asarray(x), jnp.asarray(x),
+        jax.random.PRNGKey(3), cfg.model.likelihood)
+    want = np.asarray(recon - kl
+                      + disc.apply({"params": state.d_params}, z) - log_z)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # and the correction is actually non-trivial
+    plain = np.asarray(recon - kl)
+    assert np.max(np.abs(want - plain)) > 1e-6
+
+
+def test_dispatch_backend_context_restores():
+    """serving pins the jnp ops tier while tracing portable exports; the
+    context must restore whatever backend was active before."""
+    from apv_tpu.ops import dispatch
+
+    prev = dispatch.get_backend()
+    with dispatch.backend("jnp"):
+        assert dispatch.get_backend() == "jnp"
+    assert dispatch.get_backend() == prev

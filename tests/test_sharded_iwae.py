@@ -144,3 +144,22 @@ def test_ksharded_multihost_alignment_guard(monkeypatch):
     monkeypatch.setattr(jax, "process_count", lambda: 2)
     with pytest.raises(ValueError, match="straddle"):
         evaluate_nll(cfg3, state.params, k=9, chunk=3, max_examples=32)
+
+
+def test_data_shards_draw_independent_noise():
+    """Duplicated rows placed in DIFFERENT data shards must not score
+    bitwise-identically: without folding the data-axis index into the
+    chunk key, every data shard consumes the same posterior-noise stream
+    (round-3 review finding, reproduced bitwise before the fix)."""
+    cfg, model, params, x = _setup()
+    x2 = np.concatenate([x[:4], x[:4]])        # rows 0-3 == rows 4-7
+    mesh = make_mesh_2d(2, 2, jax.devices()[:4])
+    f = make_sharded_iwae_fn(model, "bernoulli", k=8, chunk=2, mesh=mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    xs = jax.device_put(x2, NamedSharding(mesh, P("data")))
+    ll = np.asarray(jax.jit(f)(params, {}, xs, xs, jax.random.PRNGKey(7),
+                               0.0))
+    assert np.all(np.isfinite(ll))
+    # same rows, different shards: estimates agree statistically but must
+    # come from independent draws (k=8 spread makes equality ~impossible)
+    assert np.max(np.abs(ll[:4] - ll[4:])) > 1e-7
