@@ -107,6 +107,13 @@ def main(argv: list[str] | None = None) -> int:
     import apv_tpu as api
 
     if args.command == "train":
+        if getattr(args, "checkpoint_dir", None):
+            # train resumes from its own results dir by name; silently
+            # ignoring the flag would train/resume the wrong model.
+            raise SystemExit(
+                "--checkpoint-dir is eval-side only (evaluate/sample/ood/"
+                "export); train resumes from <results_dir>/<name>/"
+                "checkpoints — use --set name=... / --set results_dir=...")
         state = api.train(args.preset, overrides=args.overrides,
                           resume=args.resume, max_steps=args.max_steps,
                           trace_dir=args.trace_dir,
@@ -119,6 +126,11 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(result, indent=2))
     elif args.command == "sample":
         if args.visualize:
+            if args.quality:
+                raise SystemExit(
+                    "--quality applies to prior sampling; it has no effect "
+                    "with --visualize — run `apv sample --quality N` "
+                    "separately")
             api.visualize(args.preset, overrides=args.overrides,
                           checkpoint_dir=args.checkpoint_dir,
                           what=args.visualize, n=args.n, steps=args.steps,

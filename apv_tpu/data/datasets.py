@@ -71,11 +71,23 @@ def _find(dirs: list[Path], names: list[str]) -> Path | None:
 
 def _load_idx_pair(root: Path, subdir: str, split: str):
     prefix = "train" if split == "train" else "t10k"
-    dirs = [root / subdir, root]
+    # idx files MUST live under the named subdir (<root>/mnist,
+    # <root>/fashion_mnist): MNIST and FashionMNIST ship with IDENTICAL
+    # filenames, so a bare-root fallback would silently resolve both
+    # datasets to the same files and score the OOD pair in-dist vs
+    # in-dist (AUROC ~0.5 with no error).
+    dirs = [root / subdir]
     img = _find(dirs, [f"{prefix}-images-idx3-ubyte"])
     lab = _find(dirs, [f"{prefix}-labels-idx1-ubyte"])
-    if img is None or lab is None:
+    if img is None and lab is None:
         return None
+    if img is None or lab is None:
+        # Half a real dataset is a broken mount, not an invitation to
+        # silently train on synthetic data.
+        raise FileNotFoundError(
+            f"{subdir}/{split}: found {'images' if img else 'labels'} but "
+            f"not {'labels' if img else 'images'} under {root / subdir} — "
+            "fix the data dir rather than falling back to synthetic")
     images = _read_idx(img)[..., None]            # [N, 28, 28, 1]
     labels = _read_idx(lab).astype(np.int32)
     return images, labels
@@ -86,7 +98,13 @@ def _load_cifar10(root: Path, split: str):
                  root / "cifar-10-batches-py", root / "cifar10"):
         names = ([f"data_batch_{i}" for i in range(1, 6)]
                  if split == "train" else ["test_batch"])
-        if not all((base / n).exists() for n in names):
+        present = [n for n in names if (base / n).exists()]
+        if present and len(present) < len(names):
+            raise FileNotFoundError(
+                f"cifar10/{split}: {base} holds {present} but is missing "
+                f"{sorted(set(names) - set(present))} — fix the data dir "
+                "rather than falling back to synthetic")
+        if len(present) < len(names):
             continue
         imgs, labs = [], []
         for n in names:
@@ -208,4 +226,9 @@ def load_dataset(name: str, split: str = "train", *,
     if not allow_synthetic:
         raise FileNotFoundError(
             f"no {name} files under {root} and synthetic fallback disabled")
+    if data_dir is not None or "APV_DATA_DIR" in os.environ:
+        # The caller explicitly pointed at real data; a silent synthetic
+        # run would report results the user believes are real.
+        print(f"warning: no {name} files under {root}; using the "
+              "deterministic synthetic fallback", flush=True)
     return _synthetic(spec, split, synthetic_size)

@@ -115,6 +115,11 @@ def sample_quality(cfg, params, d_params=None, *, n: int = 2048,
     ``generate_samples`` with pixel ``mode`` ('sample' scores the model's
     actual pixel distribution; 'mean' scores the de-noised decoder output).
     """
+    if n < 2:
+        # MMD's U-statistic divides by n(n-1) and the Fréchet term needs a
+        # covariance — n<2 would silently write NaN into
+        # sample_quality.json (non-standard JSON; strict parsers reject).
+        raise ValueError(f"sample_quality needs n >= 2, got n={n}")
     from apv_tpu.eval.run import eval_arrays
     from apv_tpu.models import LatentDiscriminator, build_model, d_apply_fn
     from apv_tpu.parallel import make_mesh, replicated
@@ -135,6 +140,9 @@ def sample_quality(cfg, params, d_params=None, *, n: int = 2048,
         real = real.astype(np.float32) / 255.0
     real = np.asarray(real, np.float32)
     n = min(n, len(real))
+    if n < 2:
+        raise ValueError(f"sample_quality needs >= 2 real examples; the "
+                         f"test split has {len(real)}")
     real = real[:n]
 
     h, w, c = cfg.model.image_shape

@@ -192,7 +192,7 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
 
     logger = MetricLogger(results_dir, log_every=cfg.train.log_every,
                           batch_size=cfg.train.batch_size,
-                          trace_dir=trace_dir)
+                          trace_dir=trace_dir, trace_offset=start)
     if primary:
         logger.write_json("config.json", dataclasses.asdict(cfg))
 
@@ -256,4 +256,9 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
         print(f"interrupted at step {step + 1}; checkpoint saved — resume "
               f"with --resume", flush=True)
         raise
+    finally:
+        # A run ending inside the trace window (short smoke, max_steps,
+        # Ctrl-C) must still flush the profile: data is only written on
+        # stop_trace.
+        logger.close()
     return state

@@ -17,9 +17,16 @@ import jax
 class MetricLogger:
     def __init__(self, results_dir: str | Path, *, log_every: int = 100,
                  batch_size: int = 0, trace_dir: str | None = None,
-                 trace_steps: tuple[int, int] = (10, 15)):
+                 trace_steps: tuple[int, int] = (10, 15),
+                 trace_offset: int = 0):
         self.dir = Path(results_dir)
-        self.dir.mkdir(parents=True, exist_ok=True)
+        # Multi-host: every process logs compute-replicated metrics, so
+        # only process 0 writes the jsonl / prints — P interleaved copies
+        # of every record would corrupt the step series (same contract as
+        # api._write_json and the loop's checkpoint saves).
+        self.primary = jax.process_index() == 0
+        if self.primary:
+            self.dir.mkdir(parents=True, exist_ok=True)
         self.path = self.dir / "metrics.jsonl"
         self.log_every = log_every
         self.batch_size = batch_size
@@ -27,7 +34,11 @@ class MetricLogger:
         self._last_time = time.perf_counter()
         self._last_step = None
         self.trace_dir = trace_dir
-        self.trace_steps = trace_steps
+        # trace_steps are relative to THIS run's first step (trace_offset =
+        # resume start): --trace-dir on a resumed run would otherwise never
+        # reach its absolute-step window and silently produce no trace.
+        self.trace_steps = (trace_steps[0] + trace_offset,
+                            trace_steps[1] + trace_offset)
         self._tracing = False
 
     def maybe_trace(self, step: int, stride: int = 1) -> None:
@@ -45,8 +56,19 @@ class MetricLogger:
             self._tracing = False
             self.trace_dir = None          # one-shot window
 
+    def close(self) -> None:
+        """Stop a still-open trace window (run ended inside it): trace
+        data is only flushed on stop_trace, so skipping this loses the
+        profile of a short/truncated run."""
+        if self._tracing:
+            jax.profiler.stop_trace()
+            self._tracing = False
+            self.trace_dir = None
+
     def log_now(self, step: int, metrics: dict) -> None:
         """Unconditional structured log (validation results etc.)."""
+        if not self.primary:
+            return
         record = {"step": step}
         record.update({k: float(v) for k, v in metrics.items()})
         with open(self.path, "a") as f:
@@ -56,7 +78,7 @@ class MetricLogger:
         print("  ".join(parts), flush=True)
 
     def log(self, step: int, metrics: dict) -> None:
-        if step % self.log_every != 0:
+        if step % self.log_every != 0 or not self.primary:
             return
         now = time.perf_counter()
         record = {"step": step}
@@ -76,5 +98,7 @@ class MetricLogger:
         print("  ".join(parts), flush=True)
 
     def write_json(self, name: str, obj) -> None:
+        if not self.primary:
+            return
         with open(self.dir / name, "w") as f:
             json.dump(obj, f, indent=2, default=str)

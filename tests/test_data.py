@@ -241,3 +241,53 @@ def test_load_train_arrays_packs_binarized():
     cfg_c = tiny_config("cifar_advprior_resnet")
     train_c, _ = load_train_arrays(cfg_c)
     assert "image" in train_c and train_c["image"].dtype == np.uint8
+
+
+def test_mnist_fashion_do_not_alias_at_root(tmp_path, rng):
+    """MNIST and FashionMNIST ship IDENTICAL idx filenames: files at the
+    bare data-dir root must NOT satisfy either loader (a root fallback
+    would resolve both datasets to the same files and score the OOD pair
+    in-dist vs in-dist). idx files are only picked up under the named
+    subdir."""
+    import struct
+
+    def write_idx(path, arr):
+        arr = np.asarray(arr, np.uint8)
+        with open(path, "wb") as f:
+            f.write(struct.pack(">HBB", 0, 8, arr.ndim))
+            for d in arr.shape:
+                f.write(struct.pack(">I", d))
+            f.write(arr.tobytes())
+
+    imgs = (rng.random((4, 28, 28)) * 255).astype(np.uint8)
+    write_idx(tmp_path / "train-images-idx3-ubyte", imgs)
+    write_idx(tmp_path / "train-labels-idx1-ubyte",
+              np.zeros(4, np.uint8))
+    # root-level files: both loaders fall back to synthetic (distinct
+    # distributions), neither reads the ambiguous files
+    m, _ = load_dataset("mnist", "train", data_dir=tmp_path,
+                        synthetic_size=8)
+    f, _ = load_dataset("fashion_mnist", "train", data_dir=tmp_path,
+                        synthetic_size=8)
+    assert len(m) == 8 and len(f) == 8          # synthetic sizes, not 4
+    assert np.abs(m.astype(np.int32) - f.astype(np.int32)).max() > 0
+
+
+def test_partial_real_dataset_raises(tmp_path, rng):
+    """Half a real dataset (images without labels) is a broken mount and
+    must raise — not silently fall back to synthetic data the user
+    believes is real."""
+    import struct
+
+    import pytest
+
+    d = tmp_path / "mnist"
+    d.mkdir()
+    imgs = (rng.random((4, 28, 28)) * 255).astype(np.uint8)
+    with open(d / "train-images-idx3-ubyte", "wb") as fh:
+        fh.write(struct.pack(">HBB", 0, 8, 3))
+        for dim in imgs.shape:
+            fh.write(struct.pack(">I", dim))
+        fh.write(imgs.tobytes())
+    with pytest.raises(FileNotFoundError, match="labels"):
+        load_dataset("mnist", "train", data_dir=tmp_path)

@@ -114,3 +114,43 @@ def test_config_from_dict_roundtrip():
     # tuples survive the JSON list round-trip
     assert isinstance(cfg2.model.widths, tuple)
     assert cfg2.model.image_shape == (32, 32, 3)
+
+
+def test_trace_window_offsets_on_resume(tmp_path, monkeypatch):
+    """--trace-dir on a RESUMED run must trace relative to the run's own
+    first step: absolute trace_steps (10, 15) are unreachable from a
+    checkpoint at step 1000 and silently produced no trace."""
+    from apv_tpu.utils.logging import MetricLogger
+
+    calls = []
+    monkeypatch.setattr(jax.profiler, "start_trace",
+                        lambda d: calls.append(("start", d)))
+    monkeypatch.setattr(jax.profiler, "stop_trace",
+                        lambda: calls.append(("stop",)))
+
+    lg = MetricLogger(tmp_path, trace_dir=str(tmp_path), trace_offset=1000)
+    for base in range(1000, 1040, 8):
+        lg.maybe_trace(base, stride=8)
+    assert ("start", str(tmp_path)) in calls and ("stop",) in calls
+
+    # and a run ending INSIDE the window flushes via close()
+    calls.clear()
+    lg2 = MetricLogger(tmp_path, trace_dir=str(tmp_path))
+    lg2.maybe_trace(8, stride=8)          # covers step 10 -> starts
+    assert calls == [("start", str(tmp_path))]
+    lg2.close()                           # run ends before step 15
+    assert calls[-1] == ("stop",)
+
+
+def test_metric_logger_nonprimary_writes_nothing(tmp_path, monkeypatch):
+    """Under jax.distributed only process 0 may append to metrics.jsonl —
+    P interleaved copies of every record corrupt the step series."""
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    from apv_tpu.utils.logging import MetricLogger
+
+    lg = MetricLogger(tmp_path / "np", log_every=1)
+    lg.log(0, {"loss": 1.0})
+    lg.log_now(0, {"valid": 2.0})
+    lg.write_json("x.json", {"a": 1})
+    assert not (tmp_path / "np" / "metrics.jsonl").exists()
+    assert not (tmp_path / "np" / "x.json").exists()
