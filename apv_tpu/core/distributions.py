@@ -158,3 +158,55 @@ def discretized_logistic_sample(key: jax.Array, mean: jax.Array,
     y = mean + jnp.exp(log_scale) * (jnp.log(u) - jnp.log1p(-u))
     y = jnp.round(y / bin_size) * bin_size
     return jnp.clip(y, low, high)
+
+
+# ---------------------------------------------------------------------------
+# Mixture of discretized logistics (optional CIFAR-10 quality knob)
+# ---------------------------------------------------------------------------
+#
+# The reference's likelihood is a SINGLE discretized logistic per pixel
+# channel (SURVEY.md §2.2 [B]); the K-component mixture is the
+# literature-standard upgrade (PixelCNN++ lineage) offered as a
+# config-switchable extension (``model.likelihood=disc_logistic_mix``) —
+# same 256-level grid, so bits/dim stay directly comparable. Components are
+# independent per pixel channel (no PixelCNN++ channel coupling: this is a
+# VAE decoder head, not an autoregressive model).
+
+def discretized_logistic_mixture_logpmf(
+        x: jax.Array, means: jax.Array, log_scales: jax.Array,
+        mix_logits: jax.Array, *, bin_size: float = 1.0 / 255.0,
+        low: float = 0.0, high: float = 1.0) -> jax.Array:
+    """Elementwise log P(pixel bin) under a K-component mixture.
+
+    ``x`` is [...]; ``means`` / ``log_scales`` / ``mix_logits`` are
+    [..., K] (mixture axis last). Returns [...]:
+        logsumexp_k[ log_softmax(mix_logits)_k + log P_k(bin) ]
+    where each log P_k reuses the exact single-logistic identity above.
+    """
+    comp = discretized_logistic_logpmf(
+        x[..., None], means, log_scales, bin_size=bin_size, low=low,
+        high=high)
+    log_w = jax.nn.log_softmax(mix_logits.astype(jnp.float32), axis=-1)
+    return jax.scipy.special.logsumexp(log_w + comp, axis=-1)
+
+
+def discretized_logistic_mixture_mean(means: jax.Array,
+                                      mix_logits: jax.Array) -> jax.Array:
+    """Mixture mean Σ_k softmax(mix_logits)_k · mean_k over the last axis."""
+    w = jax.nn.softmax(mix_logits.astype(jnp.float32), axis=-1)
+    return jnp.sum(w * means.astype(jnp.float32), axis=-1)
+
+
+def discretized_logistic_mixture_sample(
+        key: jax.Array, means: jax.Array, log_scales: jax.Array,
+        mix_logits: jax.Array, *, bin_size: float = 1.0 / 255.0,
+        low: float = 0.0, high: float = 1.0) -> jax.Array:
+    """Sample: pick a component per element, then a logistic draw from it."""
+    k_sel, k_pix = jax.random.split(key)
+    idx = jax.random.categorical(k_sel, mix_logits.astype(jnp.float32),
+                                 axis=-1)                       # [...]
+    mean = jnp.take_along_axis(means, idx[..., None], axis=-1)[..., 0]
+    log_scale = jnp.take_along_axis(log_scales, idx[..., None],
+                                    axis=-1)[..., 0]
+    return discretized_logistic_sample(k_pix, mean, log_scale,
+                                       bin_size=bin_size, low=low, high=high)

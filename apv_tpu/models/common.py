@@ -32,3 +32,17 @@ def get_activation(name: str) -> Callable:
         raise ValueError(f"unknown activation {name!r}; "
                          f"have {sorted(ACTIVATIONS)}")
     return ACTIVATIONS[name]
+
+
+def likelihood_out_params(likelihood: str, mix_components: int) -> int:
+    """Per-image-channel decoder head width: Bernoulli logits (1),
+    disc-logistic (mean, log_scale → 2), K-component mixture
+    (K means + K log_scales + K mix logits → 3·K; the split convention
+    lives in losses.decoder_output_to_likelihood_params)."""
+    if likelihood == "bernoulli":
+        return 1
+    if likelihood == "discretized_logistic":
+        return 2
+    if likelihood == "disc_logistic_mix":
+        return 3 * mix_components
+    raise ValueError(f"unknown likelihood {likelihood!r}")

@@ -13,7 +13,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from apv_tpu.models.common import get_activation
+from apv_tpu.models.common import get_activation, likelihood_out_params
 
 
 def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
@@ -83,11 +83,13 @@ class ConvVAE(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     likelihood: str = "bernoulli"
     activation: str = "gelu"
+    mix_components: int = 5                    # disc_logistic_mix only
 
     def setup(self):
         self.encoder = ConvEncoder(self.z_dim, self.widths, self.dense,
                                    self.dtype, self.activation)
-        out_params = 1 if self.likelihood == "bernoulli" else 2
+        out_params = likelihood_out_params(self.likelihood,
+                                           self.mix_components)
         self.decoder = ConvDecoder(self.image_shape,
                                    tuple(reversed(self.widths)), self.dense,
                                    out_params, self.dtype,

@@ -14,7 +14,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from apv_tpu.models.common import get_activation
+from apv_tpu.models.common import get_activation, likelihood_out_params
 from apv_tpu.models.conv_vae import _upsample2x
 
 
@@ -142,12 +142,14 @@ class ResNetVAE(nn.Module):
     upsample: str = "nearest"
     activation: str = "gelu"
     norm: str = "group"
+    mix_components: int = 5                    # disc_logistic_mix only
 
     def setup(self):
         self.encoder = ResNetEncoder(self.z_dim, self.widths,
                                      self.blocks_per_stage, self.dtype,
                                      self.activation, self.norm)
-        out_params = 1 if self.likelihood == "bernoulli" else 2
+        out_params = likelihood_out_params(self.likelihood,
+                                           self.mix_components)
         self.decoder = ResNetDecoder(self.image_shape,
                                      tuple(reversed(self.widths)),
                                      self.blocks_per_stage, out_params,

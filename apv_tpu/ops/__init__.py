@@ -15,4 +15,4 @@ point of the kernel tier.
 
 from apv_tpu.ops.dispatch import (  # noqa: F401
     set_backend, get_backend, reparam_sample, kl_standard,
-    bernoulli_recon_ll, disc_logistic_recon_ll)
+    bernoulli_recon_ll, disc_logistic_recon_ll, disc_logistic_mix_recon_ll)

@@ -116,3 +116,18 @@ def disc_logistic_recon_ll(x: jax.Array, mean: jax.Array, log_scale: jax.Array,
                            *, bin_size: float = 1.0 / 255.0) -> jax.Array:
     """Per-sample discretized-logistic log-likelihood → [B]."""
     return _impl("disc_logistic")(x, mean, log_scale, bin_size)
+
+
+def disc_logistic_mix_recon_ll(x: jax.Array, means: jax.Array,
+                               log_scales: jax.Array, mix_logits: jax.Array,
+                               *, bin_size: float = 1.0 / 255.0) -> jax.Array:
+    """Per-sample mixture-of-discretized-logistics log-likelihood → [B].
+
+    jnp tier on every backend by design: the fused Pallas likelihoods are
+    0.2% of the measured flagship step (RESULTS.md op table) — a hand
+    kernel for the mixture would buy nothing XLA's fusion doesn't already;
+    the logsumexp over K fuses with the elementwise CDF math.
+    """
+    ll = D.discretized_logistic_mixture_logpmf(x, means, log_scales,
+                                               mix_logits, bin_size=bin_size)
+    return jnp.sum(_flat(ll), axis=-1)

@@ -41,6 +41,16 @@ def decoder_pixels(out: jax.Array, key: jax.Array, likelihood: str,
         if mode == "mean":
             return probs
         return jax.random.bernoulli(key, probs).astype(jnp.float32)
+    if likelihood == "disc_logistic_mix":
+        from apv_tpu.core.distributions import (
+            discretized_logistic_mixture_mean,
+            discretized_logistic_mixture_sample)
+        means, log_scales, logits = lik
+        if mode == "mean":
+            return jnp.clip(
+                discretized_logistic_mixture_mean(means, logits), 0.0, 1.0)
+        return discretized_logistic_mixture_sample(key, means, log_scales,
+                                                   logits)
     mean, log_scale = lik
     if mode == "mean":
         return jnp.clip(mean, 0.0, 1.0)

@@ -36,11 +36,26 @@ def decoder_output_to_likelihood_params(out: jax.Array, likelihood: str,
     [B,H,W,2C] → (mean, log_scale); mean is unconstrained (edge-bin handling
     absorbs out-of-range means), log_scale is floored at -7 (PixelCNN++
     convention — keeps the per-bin mass from collapsing below fp precision).
+    Mixture ('disc_logistic_mix'): out [B,H,W,3·K·C] → per-channel K-tuples
+    (means, log_scales, mix_logits), each [B,H,W,C,K]; K is inferred from
+    the channel count so callers need no extra plumbing.
     """
     if likelihood == "bernoulli":
         return (out,)
-    mean, log_scale = jnp.split(out, 2, axis=-1)
-    return mean, jnp.maximum(log_scale, -7.0)
+    if likelihood == "discretized_logistic":
+        mean, log_scale = jnp.split(out, 2, axis=-1)
+        return mean, jnp.maximum(log_scale, -7.0)
+    if likelihood == "disc_logistic_mix":
+        c = image_channels
+        k3 = out.shape[-1] // c
+        if out.shape[-1] != c * k3 or k3 % 3 != 0:
+            raise ValueError(
+                f"disc_logistic_mix head must be 3·K·C channels; got "
+                f"{out.shape[-1]} for C={c}")
+        p = out.reshape(out.shape[:-1] + (c, k3))
+        means, log_scales, logits = jnp.split(p, 3, axis=-1)
+        return means, jnp.maximum(log_scales, -7.0), logits
+    raise ValueError(f"unknown likelihood {likelihood!r}")
 
 
 def recon_log_likelihood(x_target: jax.Array, out: jax.Array,
@@ -50,6 +65,8 @@ def recon_log_likelihood(x_target: jax.Array, out: jax.Array,
                                                  x_target.shape[-1])
     if likelihood == "bernoulli":
         return ops.bernoulli_recon_ll(x_target, params[0])
+    if likelihood == "disc_logistic_mix":
+        return ops.disc_logistic_mix_recon_ll(x_target, *params)
     return ops.disc_logistic_recon_ll(x_target, params[0], params[1])
 
 

@@ -26,7 +26,12 @@ class ModelConfig:
     widths: tuple[int, ...] = (32, 64)
     blocks_per_stage: int = 2                  # resnet only
     dense: int = 512                           # conv only
-    likelihood: str = "bernoulli"              # bernoulli | discretized_logistic
+    # bernoulli | discretized_logistic | disc_logistic_mix. The reference's
+    # likelihood is the SINGLE discretized logistic [B]; the K-component
+    # mixture is the literature-standard quality upgrade (same 256-level
+    # grid — bits/dim directly comparable), offered as an extension knob.
+    likelihood: str = "bernoulli"
+    mix_components: int = 5                    # disc_logistic_mix only
     image_shape: tuple[int, int, int] = (28, 28, 1)
     upsample: str = "nearest"                  # resnet decoder: nearest | conv_transpose
     # gelu | gelu_sigmoid | silu | relu | leaky_relu (models/common.py) —

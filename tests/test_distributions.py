@@ -185,3 +185,88 @@ def test_disc_logistic_sample_in_range():
     assert arr.min() >= 0.0 and arr.max() <= 1.0
     # quantized to the 1/255 grid
     np.testing.assert_allclose(arr * 255, np.round(arr * 255), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Mixture of discretized logistics (model.likelihood=disc_logistic_mix)
+# ---------------------------------------------------------------------------
+
+def test_disc_logistic_mix_matches_numpy_golden(rng):
+    """Mixture logpmf vs an explicit f64 logsumexp over the scipy-golden
+    per-component pmfs."""
+    n, k = 128, 4
+    levels = rng.integers(0, 256, size=n)
+    x = (levels / 255.0).astype(np.float32)
+    means = rng.uniform(-0.2, 1.2, size=(n, k)).astype(np.float32)
+    log_scales = rng.uniform(-6, 0, size=(n, k)).astype(np.float32)
+    logits = rng.normal(size=(n, k)).astype(np.float32)
+    got = np.asarray(D.discretized_logistic_mixture_logpmf(
+        x, means, log_scales, logits))
+    comp = np.stack([_scipy_disc_logistic(x, means[:, j], log_scales[:, j])
+                     for j in range(k)], axis=-1)
+    from scipy.special import logsumexp
+    lw = logits.astype(np.float64)
+    lw = lw - logsumexp(lw, axis=-1, keepdims=True)
+    want = logsumexp(lw + comp, axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_disc_logistic_mix_k1_reduces_to_single(rng):
+    """K=1 with any logit is exactly the single discretized logistic."""
+    x = (rng.integers(0, 256, size=64) / 255.0).astype(np.float32)
+    mean = rng.uniform(0, 1, size=64).astype(np.float32)
+    log_scale = rng.uniform(-6, 0, size=64).astype(np.float32)
+    got = np.asarray(D.discretized_logistic_mixture_logpmf(
+        x, mean[:, None], log_scale[:, None],
+        np.full((64, 1), 3.7, np.float32)))
+    want = np.asarray(D.discretized_logistic_logpmf(x, mean, log_scale))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_disc_logistic_mix_sums_to_one():
+    levels = np.arange(256, dtype=np.float32) / 255.0
+    k = 3
+    means = np.broadcast_to(
+        np.array([0.2, 0.5, 0.9], np.float32), (256, k))
+    log_scales = np.broadcast_to(
+        np.array([-2.0, -5.0, -3.0], np.float32), (256, k))
+    logits = np.broadcast_to(
+        np.array([0.5, -1.0, 1.5], np.float32), (256, k))
+    lp = np.asarray(D.discretized_logistic_mixture_logpmf(
+        levels, means, log_scales, logits))
+    np.testing.assert_allclose(np.exp(lp).sum(), 1.0, rtol=1e-4)
+
+
+def test_disc_logistic_mix_grads_finite():
+    x = jnp.arange(256, dtype=jnp.float32) / 255.0
+
+    def loss(means, log_scales, logits):
+        return -jnp.sum(D.discretized_logistic_mixture_logpmf(
+            x, jnp.broadcast_to(means, (256, 3)),
+            jnp.broadcast_to(log_scales, (256, 3)),
+            jnp.broadcast_to(logits, (256, 3))))
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.array([0.1, 0.5, 0.9]), jnp.array([-1.0, -7.0, -12.0]),
+        jnp.array([0.0, 2.0, -2.0]))
+    for gi in g:
+        assert np.all(np.isfinite(np.asarray(gi)))
+
+
+def test_disc_logistic_mix_sample_and_mean():
+    key = jax.random.PRNGKey(0)
+    n, k = 4000, 2
+    # two well-separated sharp components with known weights
+    means = jnp.broadcast_to(jnp.array([0.2, 0.8]), (n, k))
+    log_scales = jnp.full((n, k), -6.0)
+    logits = jnp.broadcast_to(jnp.array([0.0, jnp.log(3.0)]), (n, k))
+    s = np.asarray(D.discretized_logistic_mixture_sample(
+        key, means, log_scales, logits))
+    assert s.min() >= 0.0 and s.max() <= 1.0
+    np.testing.assert_allclose(s * 255, np.round(s * 255), atol=1e-4)
+    # weights are softmax([0, log3]) = (0.25, 0.75): fraction near 0.8
+    frac_hi = float((s > 0.5).mean())
+    assert 0.70 < frac_hi < 0.80, frac_hi
+    # mixture mean = 0.25*0.2 + 0.75*0.8 = 0.65
+    m = np.asarray(D.discretized_logistic_mixture_mean(means, logits))
+    np.testing.assert_allclose(m, 0.65, rtol=1e-5)
