@@ -30,6 +30,8 @@ class ModelConfig:
     # likelihood is the SINGLE discretized logistic [B]; the K-component
     # mixture is the literature-standard quality upgrade (same 256-level
     # grid — bits/dim directly comparable), offered as an extension knob.
+    # Gate verdict on SYNTHETIC data: fails both quality horizons
+    # (RESULTS.md roofline §3c) — re-gate on real CIFAR-10 before use.
     likelihood: str = "bernoulli"
     mix_components: int = 5                    # disc_logistic_mix only
     image_shape: tuple[int, int, int] = (28, 28, 1)
