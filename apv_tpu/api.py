@@ -80,13 +80,13 @@ def _restore_state(cfg: Config, checkpoint_dir: str | None = None):
 
 
 def _write_json(cfg: Config, name: str, data: dict) -> None:
-    """Persist a result file next to the run — process 0 only under
-    jax.distributed (every process runs the same eval compute, but P
-    concurrent writers to one shared results file would interleave; the
-    train loop applies the same primary-only rule to orbax saves)."""
+    """Persist a result file next to the run. MetricLogger owns the
+    process-0-only write rule under jax.distributed (every process runs
+    the same eval compute, but P concurrent writers to one shared results
+    file would interleave) — no second guard here, or the two copies
+    drift."""
     from apv_tpu.utils.logging import MetricLogger
-    if jax.process_index() == 0:
-        MetricLogger(Path(cfg.results_dir) / cfg.name).write_json(name, data)
+    MetricLogger(Path(cfg.results_dir) / cfg.name).write_json(name, data)
 
 
 def _p(state, cfg):

@@ -80,6 +80,17 @@ def _load_idx_pair(root: Path, subdir: str, split: str):
     img = _find(dirs, [f"{prefix}-images-idx3-ubyte"])
     lab = _find(dirs, [f"{prefix}-labels-idx1-ubyte"])
     if img is None and lab is None:
+        # A COMPLETE idx pair at the bare root is a misplaced layout, not
+        # absence: raising with the expected subdir beats silently
+        # training on synthetic data the user believes is real (the same
+        # fail-loud rule as the half-present case below).
+        if (_find([root], [f"{prefix}-images-idx3-ubyte"]) is not None
+                and _find([root], [f"{prefix}-labels-idx1-ubyte"])
+                is not None):
+            raise FileNotFoundError(
+                f"found {prefix}-* idx files at the bare data root {root}: "
+                "MNIST and FashionMNIST ship identical filenames, so the "
+                f"root is ambiguous — move them under {root / subdir}")
         return None
     if img is None or lab is None:
         # Half a real dataset is a broken mount, not an invitation to

@@ -61,15 +61,13 @@ def _host_shard() -> tuple[int, int] | None:
 
 def _eval_batch_size(requested: int, n_rows: int) -> int:
     """Effective eval batch: capped by the split size and, under
-    jax.distributed, rounded down to a process-count multiple (Batcher
-    requires the global batch to split evenly across hosts — mirror of
-    the train loop's valid-batch rounding, training/loop.py)."""
-    bs = min(requested, n_rows)
+    jax.distributed, rounded down to a process-count multiple (the shared
+    rounding rule lives in parallel/multihost.round_global_batch — the
+    train loop's valid batches use the same call)."""
+    from apv_tpu.parallel.multihost import round_global_batch
     hs = _host_shard()
-    if hs is not None:
-        pcount = hs[1]
-        bs = max(pcount, (bs // pcount) * pcount)
-    return bs
+    return round_global_batch(min(requested, n_rows),
+                              pcount=None if hs is None else hs[1])
 
 
 def _local_rows(arr: jax.Array) -> np.ndarray:

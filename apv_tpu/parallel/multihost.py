@@ -62,6 +62,40 @@ def host_shard() -> tuple[int, int] | None:
     return (jax.process_index(), jax.process_count())
 
 
+def round_global_batch(bs: int, pcount: int | None = None) -> int:
+    """Largest ``pcount`` multiple of ``bs`` (floored at one row per
+    process): the Batcher requires the global batch to split evenly across
+    hosts. The single owner of this rounding rule — the train loop's
+    valid batches and the eval batch loops both call it. ``pcount``
+    defaults to ``jax.process_count()``; callers that already carry a
+    host-shard spec pass its count (keeps simulated-multi-host tests in
+    control of the value)."""
+    pcount = jax.process_count() if pcount is None else pcount
+    if pcount == 1:
+        return bs
+    return max(pcount, (bs // pcount) * pcount)
+
+
+def agree_max(value: int | None) -> int | None:
+    """Collective max of a per-process optional int (None = absent);
+    single-process identity.
+
+    For decisions derived from LOCAL filesystem state (the stale-checkpoint
+    refusal): checkpoint saves are primary-only, so on storage that is not
+    perfectly shared (host-local disk, lagging NFS) only process 0 may see
+    the stale step — a local-only decision would raise on one host and
+    leave the others blocking in the first collective. Agreeing on the max
+    first makes refusal/overwrite a collective decision."""
+    if jax.process_count() == 1:
+        return value
+    import numpy as np
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(
+        np.int64(-1 if value is None else value))
+    m = int(np.max(gathered))
+    return None if m < 0 else m
+
+
 def local_rows(n_global: int, pid: int | None = None,
                pcount: int | None = None) -> tuple[int, int]:
     """[start, stop) of this host's contiguous row range of a global batch.

@@ -81,7 +81,12 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
     # Multi-host: every process runs the same compute; only process 0
     # persists (two orbax saves to one shared dir would race).
     primary = jax.process_index() == 0
-    stale_step = None if resume else ckpt.latest_step(ckpt_dir)
+    # agree_max: saves are primary-only, so on non-shared/laggy results
+    # storage only process 0 may SEE the stale step — the refusal below
+    # must be a collective decision or the other hosts block in the first
+    # collective while process 0 raises.
+    stale_step = (None if resume
+                  else multihost.agree_max(ckpt.latest_step(ckpt_dir)))
     if stale_step is not None:
         # Orbax skips save() for steps already on disk, so a fresh run into
         # a reused results dir would train new weights but silently KEEP the
@@ -89,9 +94,8 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
         # stale model). A non-resume run owns its results dir — but deleting
         # hours of trained checkpoints because someone forgot --resume on a
         # smoke rerun is worse, so clearing needs an explicit opt-in.
-        # The refusal is raised on EVERY process (a primary-only raise
-        # would leave the other hosts blocking in the first collective);
-        # only the destructive clear is primary-only.
+        # The refusal is raised on EVERY process (stale_step is agreed
+        # collectively above); only the destructive clear is primary-only.
         if not overwrite:
             raise FileExistsError(
                 f"{ckpt_dir} already holds a checkpoint (step "
@@ -174,10 +178,10 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
     valid_batches = None
     if valid_arrays is not None:
         n_valid_rows = len(next(iter(valid_arrays.values())))
-        vbs = min(cfg.train.batch_size, n_valid_rows)
-        if host_shard is not None:
-            # global batch must split evenly across hosts
-            vbs = max(host_shard[1], (vbs // host_shard[1]) * host_shard[1])
+        # rounded with the SAME host_shard the Batcher below receives
+        vbs = multihost.round_global_batch(
+            min(cfg.train.batch_size, n_valid_rows),
+            pcount=None if host_shard is None else host_shard[1])
         vb = Batcher(valid_arrays, vbs, shuffle=False, host_shard=host_shard)
         shard = data_sharding(mesh)
         valid_batches = [multihost.put_batch(b, shard) for b in vb.epoch()]

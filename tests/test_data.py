@@ -244,12 +244,14 @@ def test_load_train_arrays_packs_binarized():
 
 
 def test_mnist_fashion_do_not_alias_at_root(tmp_path, rng):
-    """MNIST and FashionMNIST ship IDENTICAL idx filenames: files at the
-    bare data-dir root must NOT satisfy either loader (a root fallback
-    would resolve both datasets to the same files and score the OOD pair
-    in-dist vs in-dist). idx files are only picked up under the named
-    subdir."""
+    """MNIST and FashionMNIST ship IDENTICAL idx filenames: a complete
+    pair at the bare data-dir root must raise loudly for BOTH loaders (a
+    root fallback would resolve both datasets to the same files and score
+    the OOD pair in-dist vs in-dist; a silent synthetic fallback would
+    report results the user believes are real)."""
     import struct
+
+    import pytest
 
     def write_idx(path, arr):
         arr = np.asarray(arr, np.uint8)
@@ -263,14 +265,10 @@ def test_mnist_fashion_do_not_alias_at_root(tmp_path, rng):
     write_idx(tmp_path / "train-images-idx3-ubyte", imgs)
     write_idx(tmp_path / "train-labels-idx1-ubyte",
               np.zeros(4, np.uint8))
-    # root-level files: both loaders fall back to synthetic (distinct
-    # distributions), neither reads the ambiguous files
-    m, _ = load_dataset("mnist", "train", data_dir=tmp_path,
-                        synthetic_size=8)
-    f, _ = load_dataset("fashion_mnist", "train", data_dir=tmp_path,
-                        synthetic_size=8)
-    assert len(m) == 8 and len(f) == 8          # synthetic sizes, not 4
-    assert np.abs(m.astype(np.int32) - f.astype(np.int32)).max() > 0
+    for name, subdir in (("mnist", "mnist"),
+                         ("fashion_mnist", "fashion_mnist")):
+        with pytest.raises(FileNotFoundError, match=subdir):
+            load_dataset(name, "train", data_dir=tmp_path)
 
 
 def test_partial_real_dataset_raises(tmp_path, rng):

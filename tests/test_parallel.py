@@ -152,3 +152,13 @@ def test_multihost_assembly_matches_single_host():
         np.testing.assert_allclose(float(m_a[k]), float(m_b[k]), rtol=1e-6)
     _assert_tree_close(jax.device_get(s_a).params,
                        jax.device_get(s_b).params, rtol=1e-6, atol=1e-7)
+
+
+def test_round_global_batch_and_agree_max_single_process():
+    """Single-process identities of the shared multi-host helpers (the
+    multi-process arms need jax.distributed; the rounding arithmetic is
+    what train valid-batches and eval batches both delegate to)."""
+    from apv_tpu.parallel.multihost import agree_max, round_global_batch
+    assert round_global_batch(37) == 37       # pcount=1: identity
+    assert agree_max(None) is None
+    assert agree_max(1200) == 1200
