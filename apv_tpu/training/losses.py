@@ -108,6 +108,31 @@ def discriminator_loss(d_logits_q: jax.Array, d_logits_p: jax.Array,
     return loss, acc
 
 
+def kl_per_dim(mean: jax.Array, logvar: jax.Array) -> jax.Array:
+    """Per-dimension KL(q||N(0,I)) in f32 → same shape as ``mean``.
+
+    The unreduced form of ``ops.kl_standard`` — needed by the free-bits
+    objective, which floors the KL per latent dimension BEFORE summing.
+    """
+    m = mean.astype(jnp.float32)
+    lv = logvar.astype(jnp.float32)
+    return 0.5 * (jnp.square(m) + jnp.exp(lv) - 1.0 - lv)
+
+
+def free_bits_kl(mean: jax.Array, logvar: jax.Array,
+                 free_bits: float) -> jax.Array:
+    """Free-bits KL objective (Kingma et al., IAF appendix C.8): the
+    minibatch-mean per-dimension KL is floored at ``free_bits`` nats before
+    summing — Σ_j max(λ, E_B[KL_j]). Dimensions whose batch-mean KL sits
+    below the floor contribute a constant, so the KL pull (the pressure to
+    prune the unit) vanishes there while the reconstruction gradient keeps
+    flowing. Returns a scalar; training-objective only — reported metrics
+    and IWAE evaluation always use the true KL.
+    """
+    kd = jnp.mean(kl_per_dim(mean, logvar), axis=0)        # [Z]
+    return jnp.sum(jnp.maximum(kd, free_bits))
+
+
 def mc_prior_ratio(z: jax.Array, mean: jax.Array, logvar: jax.Array):
     """Single-sample MC estimate of log p0(z) - log q(z|x), per sample [B]."""
     lp = jnp.sum(D.standard_gaussian_logpdf(z).reshape(z.shape[0], -1), -1)

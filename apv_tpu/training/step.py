@@ -161,10 +161,14 @@ def make_train_fns(cfg: Config) -> TrainFns:
 
     def g_phase(state: TrainState, x_in, x_target, key, beta):
         def loss_fn(params):
-            recon, kl, z = L.elbo_terms(encode, decode, params, x_in,
-                                        x_target, key, cfg.model.likelihood)
-            elbo = recon - beta * kl
+            mean, logvar = encode(params, x_in)
+            z = ops.reparam_sample(key, mean, logvar)
+            out = decode(params, z)
+            recon = L.recon_log_likelihood(x_target, out,
+                                           cfg.model.likelihood)
+            kl = ops.kl_standard(mean, logvar)
             aux = {"recon": jnp.mean(recon), "kl": jnp.mean(kl)}
+            per_sample = recon                   # non-KL objective terms [B]
             if adv:
                 d_logits = d_apply(jax.lax.stop_gradient(state.d_params), z)
                 adv_term = L.generator_adv_term(d_logits,
@@ -177,10 +181,16 @@ def make_train_fns(cfg: Config) -> TrainFns:
                 adv_w = cfg.adversarial.weight
                 if cfg.adversarial.variant == "learned_prior":
                     adv_w = adv_w * beta
-                elbo = elbo + adv_w * adv_term
+                per_sample = per_sample + adv_w * adv_term
                 aux["g_adv"] = jnp.mean(adv_term)
                 aux["z_q"] = jax.lax.stop_gradient(z)
-            loss = -jnp.mean(elbo) * loss_scale
+            # KL objective term: plain batch-mean KL, or the free-bits
+            # floored version (gradient-only change; metrics stay true KL).
+            if cfg.train.free_bits > 0.0:
+                kl_obj = L.free_bits_kl(mean, logvar, cfg.train.free_bits)
+            else:
+                kl_obj = jnp.mean(kl)
+            loss = -(jnp.mean(per_sample) - beta * kl_obj) * loss_scale
             aux["elbo"] = jnp.mean(recon - kl)   # plain ELBO for reporting
             return loss, aux
 

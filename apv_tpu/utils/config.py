@@ -74,6 +74,11 @@ class TrainConfig:
     lr_end_value: float = 1e-5                 # cosine decay target
     beta: float = 1.0                          # KL weight
     beta_warmup_steps: int = 0                 # linear KL anneal from 0
+    # Free bits (nats per latent dim, 0 = off): the TRAINING objective
+    # floors the minibatch-mean per-dim KL at this value before summing
+    # (losses.free_bits_kl), removing the pruning pressure on low-KL units.
+    # Reported kl/elbo metrics and IWAE eval always use the true KL.
+    free_bits: float = 0.0
     seed: int = 0
     log_every: int = 100
     checkpoint_every: int = 2_000
