@@ -133,6 +133,121 @@ def free_bits_kl(mean: jax.Array, logvar: jax.Array,
     return jnp.sum(jnp.maximum(kd, free_bits))
 
 
+def iwae_objective(encode: Callable, decode: Callable, params: Any,
+                   x_in: jax.Array, x_target: jax.Array, key: jax.Array,
+                   likelihood: str, k: int, beta: jax.Array,
+                   grad_estimator: str = "dreg",
+                   d_apply: Callable | None = None,
+                   adv_variant: str | None = None,
+                   adv_weight: float = 0.0):
+    """IWAE-k multi-sample training objective (IWAE paper, arXiv 1509.00519
+    — the same bound the k=1000 evaluator estimates, here with small k as
+    the TRAINING objective; SURVEY.md §0.1 paper lineage).
+
+        L_k = E_B[ logsumexp_i(log w_i) - log k ],
+        log w_i = recon(z_i) + β·(log p*(z_i) - log q(z_i|x))
+
+    The k samples are folded into the decoder's batch axis (ONE [k·B]
+    decoder call — large MXU matmuls, no vmap of the Pallas reparam kernel)
+    and drawn through ``ops.reparam_sample`` exactly like the evaluator's
+    ``sample_posterior_chunk``. β scales the prior/posterior mismatch term
+    so β-warmup behaves like the ELBO path's (β=1 recovers the true bound;
+    k=1 recovers the single-sample MC ELBO — tested).
+
+    With the adversarial prior: 'learned_prior' puts adv_weight·D(z_i)
+    inside log w_i (it IS part of log p*(z), so it rides β like the KL —
+    mirroring g_phase's elbo path); 'aae' keeps the bound on the N(0,I)
+    prior and adds its fool-the-discriminator regularizer OUTSIDE the bound,
+    MC-averaged over the k samples.
+
+    ``grad_estimator``:
+      * 'reparam' — plain autodiff through the bound (the IWAE paper's
+        estimator). Unbiased, but the inference-net gradient's SNR decays
+        as 1/√k (Rainforth et al. 2018).
+      * 'dreg' — doubly-reparameterized (Tucker et al. 2018): the encoder
+        path is reweighted by normalized-w² with the score term removed;
+        the decoder path keeps the standard w̃ weighting (for decoder
+        params the two estimators coincide — tested exactly). Same bound
+        VALUE as 'reparam' (value+surrogate trick), better φ gradients.
+
+    Returns ``(objective, aux, z_q)``: scalar objective (higher = better,
+    caller negates/scales), metric dict, and [B,Z] posterior samples
+    (sample 0, stop-gradiented) for discriminator reuse.
+    """
+    if grad_estimator not in ("reparam", "dreg"):
+        raise ValueError(
+            f"unknown iwae grad estimator {grad_estimator!r} (reparam|dreg)")
+    mean, logvar = encode(params, x_in)
+    b = x_in.shape[0]
+    mean_k = jnp.broadcast_to(mean[None], (k,) + mean.shape)
+    logvar_k = jnp.broadcast_to(logvar[None], (k,) + logvar.shape)
+    z = ops.reparam_sample(key, mean_k, logvar_k)          # [k, B, Z]
+    zf = z.reshape(k * b, -1)
+    xt = jnp.broadcast_to(x_target[None], (k,) + x_target.shape)
+    xt = xt.reshape((k * b,) + x_target.shape[1:])
+
+    def recon_fn(p, z_flat):
+        return recon_log_likelihood(xt, decode(p, z_flat),
+                                    likelihood).reshape(k, b)
+
+    log_p0 = jnp.sum(D.standard_gaussian_logpdf(z), axis=-1)        # [k, B]
+
+    def log_q_fn(m, lv):
+        return jnp.sum(D.gaussian_logpdf(z, m, lv), axis=-1)        # [k, B]
+
+    d_logits = None
+    if d_apply is not None:
+        d_logits = d_apply(zf).reshape(k, b)
+    learned_prior = d_apply is not None and adv_variant == "learned_prior"
+
+    def log_w_from(recon, log_q):
+        logw = recon + beta * (log_p0 - log_q)
+        if learned_prior:
+            # D(z) is part of log p*(z): same β·weight scaling as g_phase.
+            logw = logw + beta * adv_weight * d_logits
+        return logw
+
+    sg = jax.lax.stop_gradient
+    if grad_estimator == "reparam":
+        recon = recon_fn(params, zf)
+        log_w = log_w_from(recon, log_q_fn(mean, logvar))
+        objective = jnp.mean(
+            jax.scipy.special.logsumexp(log_w, axis=0) - jnp.log(float(k)))
+    else:
+        # DReG: φ reaches log w ONLY through z (score term cut by
+        # stop-gradient on q's direct params), weighted w̃²; θ reaches it
+        # only through recon (z stopped), weighted w̃. The two decode calls
+        # share one primal (XLA CSEs the forward); only the backward splits.
+        recon_z = recon_fn(sg(params), zf)                 # φ path via z
+        recon_th = recon_fn(params, sg(zf))                # θ path
+        log_w_z = log_w_from(recon_z, log_q_fn(sg(mean), sg(logvar)))
+        w_tilde = sg(jax.nn.softmax(log_w_z, axis=0))      # [k, B]
+        surrogate = jnp.mean(jnp.sum(
+            w_tilde * recon_th + jnp.square(w_tilde) * log_w_z, axis=0))
+        bound = sg(jnp.mean(
+            jax.scipy.special.logsumexp(log_w_z, axis=0) - jnp.log(float(k))))
+        objective = bound + surrogate - sg(surrogate)      # value=bound,
+        recon = recon_z                                    # grad=surrogate
+        log_w = log_w_z
+
+    aux = {
+        "iwae_bound": sg(jnp.mean(
+            jax.scipy.special.logsumexp(log_w, axis=0) - jnp.log(float(k)))),
+        "recon": sg(jnp.mean(recon)),
+        # MC KL estimate over the k samples (no analytic KL in the bound).
+        "kl": sg(jnp.mean(log_q_fn(mean, logvar) - log_p0)),
+    }
+    if d_apply is not None:
+        adv_term = generator_adv_term(d_logits, adv_variant)
+        aux["g_adv"] = sg(jnp.mean(adv_term))
+        if adv_variant == "aae":
+            # AAE's term regularizes q, it is NOT part of the prior: add its
+            # MC estimate outside the bound (plain reparam gradient through
+            # z is unbiased for an E_q[g(z)] regularizer — no DReG needed).
+            objective = objective + adv_weight * jnp.mean(adv_term)
+    return objective, aux, sg(z[0])
+
+
 def mc_prior_ratio(z: jax.Array, mean: jax.Array, logvar: jax.Array):
     """Single-sample MC estimate of log p0(z) - log q(z|x), per sample [B]."""
     lp = jnp.sum(D.standard_gaussian_logpdf(z).reshape(z.shape[0], -1), -1)

@@ -159,6 +159,45 @@ def make_train_fns(cfg: Config) -> TrainFns:
             f"unknown loss_reduction {cfg.train.loss_reduction!r} "
             "(sum|mean_per_dim)")
 
+    if cfg.train.objective not in ("elbo", "iwae"):
+        raise ValueError(
+            f"unknown train.objective {cfg.train.objective!r} (elbo|iwae)")
+    if cfg.train.objective == "iwae" and cfg.train.free_bits > 0.0:
+        raise ValueError(
+            "train.free_bits applies to the elbo objective only: the IWAE "
+            "bound has no per-dimension KL term to floor")
+
+    def g_phase_iwae(state: TrainState, x_in, x_target, key, beta):
+        """G update on the IWAE-k bound (train.objective=iwae): the
+        multi-sample importance-weighted objective with the configured
+        gradient estimator; adversarial coupling mirrors the elbo path
+        (see losses.iwae_objective)."""
+        d_fn = None
+        if adv:
+            d_params = jax.lax.stop_gradient(state.d_params)
+            d_fn = lambda z: d_apply(d_params, z)
+
+        def loss_fn(params):
+            objective, aux, z_q = L.iwae_objective(
+                encode, decode, params, x_in, x_target, key,
+                cfg.model.likelihood, cfg.train.iwae_k, beta,
+                cfg.train.iwae_grad, d_apply=d_fn,
+                adv_variant=cfg.adversarial.variant if adv else None,
+                adv_weight=cfg.adversarial.weight)
+            aux["elbo"] = aux["recon"] - aux["kl"]   # MC-ELBO for reporting
+            if adv:
+                aux["z_q"] = z_q
+            return -objective * loss_scale, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        z_q = aux.pop("z_q", None)
+        aux["loss"] = loss
+        aux["grad_norm"] = optax.global_norm(grads)
+        return state.replace(params=params, opt_state=opt_state), aux, z_q
+
     def g_phase(state: TrainState, x_in, x_target, key, beta):
         def loss_fn(params):
             mean, logvar = encode(params, x_in)
@@ -266,7 +305,8 @@ def make_train_fns(cfg: Config) -> TrainFns:
             # Reference order (SURVEY.md §3.2): D step(s), then G step,
             # with the D phase encoding its own posterior samples.
             state = run_d_phases(state)
-        state, g_metrics, z_q = g_phase(state, x_in, x_target, k_g, beta)
+        g_fn = g_phase_iwae if cfg.train.objective == "iwae" else g_phase
+        state, g_metrics, z_q = g_fn(state, x_in, x_target, k_g, beta)
         metrics.update(g_metrics)
         if adv and cfg.adversarial.d_reuse_posterior:
             # G-then-D variant: D reuses the G forward's posterior samples

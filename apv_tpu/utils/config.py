@@ -79,6 +79,18 @@ class TrainConfig:
     # (losses.free_bits_kl), removing the pruning pressure on low-KL units.
     # Reported kl/elbo metrics and IWAE eval always use the true KL.
     free_bits: float = 0.0
+    # elbo | iwae: the training objective. 'iwae' trains on the k-sample
+    # importance-weighted bound (IWAE paper, arXiv 1509.00519 — the eval
+    # estimator's bound used as the objective, with small k): the k samples
+    # fold into the decoder batch axis so the MXU sees one [k·B] call.
+    # Incompatible with free_bits (no per-dim KL term in the bound).
+    objective: str = "elbo"
+    iwae_k: int = 5                    # importance samples (objective=iwae)
+    # reparam | dreg: inference-net gradient estimator for objective=iwae.
+    # 'dreg' (doubly-reparameterized, Tucker et al. 2018) removes the score
+    # term and reweights the encoder path by normalized-w² — same bound
+    # value, higher-SNR φ gradients (the default for good reason).
+    iwae_grad: str = "dreg"
     seed: int = 0
     log_every: int = 100
     checkpoint_every: int = 2_000
