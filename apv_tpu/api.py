@@ -96,6 +96,17 @@ def _p(state, cfg):
     return eval_params(state, cfg)
 
 
+def _d(state, cfg):
+    """Latent-D params eval-side entry points consume (None when the run
+    is non-adversarial). Biadversarial checkpoints store both Ds under
+    d_params; scoring/SIR/export want only the z-space density-ratio D
+    (models.latent_d_params)."""
+    if not cfg.adversarial.enabled:
+        return None
+    from apv_tpu.models import latent_d_params
+    return latent_d_params(cfg.adversarial.variant, state.d_params)
+
+
 def train(config: str | Config = "mnist_vae", *,
           overrides: list[str] | None = None, resume: bool = False,
           max_steps: int | None = None, trace_dir: str | None = None,
@@ -141,8 +152,7 @@ def evaluate(config: str | Config = "iwae_eval", *,
     cfg = _adopt_checkpoint_arch(_resolve(config, overrides), overrides,
                                  checkpoint_dir)
     state = _restore_state(cfg, checkpoint_dir)
-    result = evaluate_nll(cfg, _p(state, cfg),
-                          state.d_params if cfg.adversarial.enabled else None,
+    result = evaluate_nll(cfg, _p(state, cfg), _d(state, cfg),
                           dataset=dataset, k=k, per_sample=per_sample)
     if activity:
         # Posterior-collapse diagnostic (one cheap encoder pass next to the
@@ -178,7 +188,7 @@ def sample(config: str | Config = "mnist_vae", *,
         # sampling pass is reused across calls (sampling/run._sample_fn)
         d_apply = d_apply_fn(
             LatentDiscriminator(tuple(cfg.adversarial.d_widths)))
-        d_params = state.d_params
+        d_params = _d(state, cfg)
     images = generate_samples(model, _p(state, cfg), jax.random.PRNGKey(seed),
                               n, cfg.model.z_dim, cfg.model.likelihood,
                               cfg.model.image_shape[2], d_apply=d_apply,
@@ -262,7 +272,7 @@ def export_artifact(config: str | Config = "mnist_vae", *,
     state = _restore_state(cfg, checkpoint_dir)
     out = out_path or (Path(cfg.results_dir) / cfg.name / f"{what}.stablehlo")
     if what == "sampler":
-        d_params = state.d_params if cfg.adversarial.enabled else None
+        d_params = _d(state, cfg)
         return serving.export_sampler(cfg, _p(state, cfg), d_params, out,
                                       quantize=quantize)
     if what == "scorer":
@@ -270,7 +280,7 @@ def export_artifact(config: str | Config = "mnist_vae", *,
             raise ValueError("quantize is sampler-only: a silently "
                              "full-precision scorer artifact would "
                              "masquerade as quantized")
-        d_params = state.d_params if cfg.adversarial.enabled else None
+        d_params = _d(state, cfg)
         return serving.export_scorer(cfg, _p(state, cfg), out,
                                      d_params=d_params)
     raise ValueError(f"unknown artifact {what!r} (sampler|scorer)")
@@ -286,7 +296,7 @@ def _load_named_model(cfg: Config, name: str):
     if cfg_b is None:
         cfg_b = get_preset(name)
     state_b = _restore_state(cfg_b)
-    d_params_b = state_b.d_params if cfg_b.adversarial.enabled else None
+    d_params_b = _d(state_b, cfg_b)
     # _p honours the named model's own train.ema_decay — scoring its raw
     # params while the primary model is scored with its Polyak average
     # would bias two-model ratios for EMA-trained checkpoints
@@ -308,7 +318,7 @@ def ood_score(config: str | Config = "ood_suite", *,
     cfg = _adopt_checkpoint_arch(_resolve(config, overrides), overrides,
                                  checkpoint_dir)
     state = _restore_state(cfg, checkpoint_dir)
-    d_params = state.d_params if cfg.adversarial.enabled else None
+    d_params = _d(state, cfg)
     baseline = (None if cfg.ood.baseline_of is None
                 else _load_named_model(cfg, cfg.ood.baseline_of))
     if both:

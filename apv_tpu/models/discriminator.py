@@ -41,3 +41,38 @@ class LatentDiscriminator(nn.Module):
             h = nn.Dense(w)(h)
             h = nn.leaky_relu(h, self.negative_slope)
         return nn.Dense(1)(h)[..., 0]       # [B] logits
+
+
+class PixelDiscriminator(nn.Module):
+    """Pixel-space discriminator D_x(x) for the 'biadversarial' variant
+    (SURVEY.md §8 item 3's two-discriminator candidate): strided-conv
+    LeakyReLU stack → one real/fake logit. No normalization (standard for
+    small GAN critics — batch statistics leak the real/fake split), bf16
+    conv compute (this IS MXU work, unlike the z-space MLP), f32 head.
+    Inputs are images in the target space ([0,1] levels / binary pixels)."""
+    widths: Sequence[int] = (32, 64, 128)
+    negative_slope: float = 0.2
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h = x.astype(self.dtype)
+        for w in self.widths:
+            h = nn.Conv(w, (4, 4), strides=(2, 2), dtype=self.dtype)(h)
+            h = nn.leaky_relu(h, self.negative_slope)
+        h = h.reshape(h.shape[0], -1).astype(jnp.float32)
+        return nn.Dense(1, dtype=jnp.float32)(h)[..., 0]   # [B] logits
+
+
+def latent_d_params(variant: str, d_params):
+    """The latent D's subtree of a checkpoint's ``d_params``.
+
+    The biadversarial variant stores BOTH discriminators under d_params
+    ({'latent': ..., 'pixel': ...} — no new TrainState fields, so the
+    checkpoint format stays config-determined); every eval-side consumer
+    (prior-ratio scoring, SIR sampling, serving export, log-partition MC)
+    wants only the latent density-ratio D and must route through here."""
+    if (variant == "biadversarial" and isinstance(d_params, dict)
+            and "latent" in d_params):
+        return d_params["latent"]
+    return d_params

@@ -70,6 +70,29 @@ def recon_log_likelihood(x_target: jax.Array, out: jax.Array,
     return ops.disc_logistic_recon_ll(x_target, params[0], params[1])
 
 
+def likelihood_pixel_mean(out: jax.Array, likelihood: str,
+                          image_channels: int) -> jax.Array:
+    """Decoder output → the pixel likelihood's mean image in [0,1].
+
+    Differentiable (sigmoid / clip / mixture-mean) — this is the x̂ the
+    biadversarial pixel discriminator sees, and the generator's pixel-space
+    adversarial gradient flows through it into the decoder. Shared with
+    sampling's mode='mean' path so 'what D_x judges' and 'what sample()
+    renders' are the same image.
+    """
+    params = decoder_output_to_likelihood_params(out, likelihood,
+                                                 image_channels)
+    if likelihood == "bernoulli":
+        return jax.nn.sigmoid(params[0])
+    if likelihood == "disc_logistic_mix":
+        from apv_tpu.core.distributions import (
+            discretized_logistic_mixture_mean)
+        means, _, logits = params
+        return jnp.clip(discretized_logistic_mixture_mean(means, logits),
+                        0.0, 1.0)
+    return jnp.clip(params[0], 0.0, 1.0)
+
+
 def elbo_terms(encode: Callable, decode: Callable, params: Any,
                x_in: jax.Array, x_target: jax.Array, key: jax.Array,
                likelihood: str):
@@ -83,12 +106,22 @@ def elbo_terms(encode: Callable, decode: Callable, params: Any,
 
 
 def generator_adv_term(d_logits_q: jax.Array, variant: str) -> jax.Array:
-    """Per-sample term ADDED to the ELBO (higher = better for G)."""
-    if variant == "learned_prior":
+    """Per-sample LATENT-space term ADDED to the ELBO (higher = better
+    for G). 'biadversarial' keeps learned_prior's density-ratio-shaped
+    prior in z; its second (pixel-space) term is pixel_g_term below."""
+    if variant in ("learned_prior", "biadversarial"):
         return d_logits_q                       # +E_q[D(z)]
     if variant == "aae":
         return -jax.nn.softplus(d_logits_q)     # log(1 - sigma(D)): fool D
     raise ValueError(f"unknown adversarial variant {variant!r}")
+
+
+def pixel_g_term(dx_logits: jax.Array) -> jax.Array:
+    """Per-sample pixel-space generator term (biadversarial, higher =
+    better for G): the non-saturating GAN loss log σ(D_x(x̂)) — gradients
+    stay alive while D_x confidently rejects reconstructions, unlike the
+    saturating log(1−σ) form."""
+    return -jax.nn.softplus(-dx_logits)
 
 
 def discriminator_loss(d_logits_q: jax.Array, d_logits_p: jax.Array,
@@ -139,7 +172,9 @@ def iwae_objective(encode: Callable, decode: Callable, params: Any,
                    grad_estimator: str = "dreg",
                    d_apply: Callable | None = None,
                    adv_variant: str | None = None,
-                   adv_weight: float = 0.0):
+                   adv_weight: float = 0.0,
+                   px_apply: Callable | None = None,
+                   px_weight: float = 0.0):
     """IWAE-k multi-sample training objective (IWAE paper, arXiv 1509.00519
     — the same bound the k=1000 evaluator estimates, here with small k as
     the TRAINING objective; SURVEY.md §0.1 paper lineage).
@@ -154,11 +189,16 @@ def iwae_objective(encode: Callable, decode: Callable, params: Any,
     so β-warmup behaves like the ELBO path's (β=1 recovers the true bound;
     k=1 recovers the single-sample MC ELBO — tested).
 
-    With the adversarial prior: 'learned_prior' puts adv_weight·D(z_i)
-    inside log w_i (it IS part of log p*(z), so it rides β like the KL —
-    mirroring g_phase's elbo path); 'aae' keeps the bound on the N(0,I)
-    prior and adds its fool-the-discriminator regularizer OUTSIDE the bound,
-    MC-averaged over the k samples.
+    With the adversarial prior: 'learned_prior' (and 'biadversarial''s
+    latent half) puts adv_weight·D(z_i) inside log w_i (it IS part of
+    log p*(z), so it rides β like the KL — mirroring g_phase's elbo path);
+    'aae' keeps the bound on the N(0,I) prior and adds its
+    fool-the-discriminator regularizer OUTSIDE the bound, MC-averaged over
+    the k samples. 'biadversarial''s pixel term (px_apply/px_weight) is
+    likewise an outside-the-bound regularizer, MC-averaged over the k
+    decodes; under DReG it is computed on the θ-path decode (z stopped), so
+    the pixel-space adversarial gradient reaches the decoder but not the
+    encoder — D_x judges images, not inference.
 
     ``grad_estimator``:
       * 'reparam' — plain autodiff through the bound (the IWAE paper's
@@ -186,9 +226,12 @@ def iwae_objective(encode: Callable, decode: Callable, params: Any,
     xt = jnp.broadcast_to(x_target[None], (k,) + x_target.shape)
     xt = xt.reshape((k * b,) + x_target.shape[1:])
 
+    def decode_recon(p, z_flat):
+        out = decode(p, z_flat)
+        return out, recon_log_likelihood(xt, out, likelihood).reshape(k, b)
+
     def recon_fn(p, z_flat):
-        return recon_log_likelihood(xt, decode(p, z_flat),
-                                    likelihood).reshape(k, b)
+        return decode_recon(p, z_flat)[1]
 
     log_p0 = jnp.sum(D.standard_gaussian_logpdf(z), axis=-1)        # [k, B]
 
@@ -198,7 +241,8 @@ def iwae_objective(encode: Callable, decode: Callable, params: Any,
     d_logits = None
     if d_apply is not None:
         d_logits = d_apply(zf).reshape(k, b)
-    learned_prior = d_apply is not None and adv_variant == "learned_prior"
+    learned_prior = d_apply is not None and adv_variant in (
+        "learned_prior", "biadversarial")
 
     def log_w_from(recon, log_q):
         logw = recon + beta * (log_p0 - log_q)
@@ -209,7 +253,7 @@ def iwae_objective(encode: Callable, decode: Callable, params: Any,
 
     sg = jax.lax.stop_gradient
     if grad_estimator == "reparam":
-        recon = recon_fn(params, zf)
+        out_g, recon = decode_recon(params, zf)
         log_w = log_w_from(recon, log_q_fn(mean, logvar))
         objective = jnp.mean(
             jax.scipy.special.logsumexp(log_w, axis=0) - jnp.log(float(k)))
@@ -219,7 +263,7 @@ def iwae_objective(encode: Callable, decode: Callable, params: Any,
         # only through recon (z stopped), weighted w̃. The two decode calls
         # share one primal (XLA CSEs the forward); only the backward splits.
         recon_z = recon_fn(sg(params), zf)                 # φ path via z
-        recon_th = recon_fn(params, sg(zf))                # θ path
+        out_g, recon_th = decode_recon(params, sg(zf))     # θ path
         log_w_z = log_w_from(recon_z, log_q_fn(sg(mean), sg(logvar)))
         w_tilde = sg(jax.nn.softmax(log_w_z, axis=0))      # [k, B]
         surrogate = jnp.mean(jnp.sum(
@@ -245,6 +289,15 @@ def iwae_objective(encode: Callable, decode: Callable, params: Any,
             # MC estimate outside the bound (plain reparam gradient through
             # z is unbiased for an E_q[g(z)] regularizer — no DReG needed).
             objective = objective + adv_weight * jnp.mean(adv_term)
+    if px_apply is not None and px_weight > 0.0:
+        # Biadversarial pixel term: outside-the-bound regularizer on the k
+        # decoded means (see docstring for the DReG gradient-path choice).
+        x_hat = likelihood_pixel_mean(out_g, likelihood, x_target.shape[-1])
+        px_term = pixel_g_term(px_apply(x_hat))
+        aux["g_px"] = sg(jnp.mean(px_term))
+        # First-sample x̂ for discriminator reuse (mirrors the z_q return).
+        aux["x_hat"] = sg(x_hat.reshape((k, b) + x_hat.shape[1:])[0])
+        objective = objective + px_weight * jnp.mean(px_term)
     return objective, aux, sg(z[0])
 
 

@@ -25,7 +25,8 @@ import optax
 from apv_tpu import ops
 from apv_tpu.data.preprocess import (normalize_center, uniform_dequantize,
                                      unpack_bits)
-from apv_tpu.models import LatentDiscriminator, build_model
+from apv_tpu.models import (LatentDiscriminator, PixelDiscriminator,
+                            build_model)
 from apv_tpu.training import losses as L
 from apv_tpu.training.state import TrainState
 from apv_tpu.utils.config import Config
@@ -109,7 +110,15 @@ def _beta(cfg: Config, step: jax.Array) -> jax.Array:
 def make_train_fns(cfg: Config) -> TrainFns:
     model = build_model(cfg.model)
     adv = cfg.adversarial.enabled
+    # biadversarial = learned_prior's z-space D PLUS a pixel-space conv D
+    # on decoded reconstructions; both live under d_params ({'latent':…,
+    # 'pixel':…}) and share ONE optimizer/n_critic schedule, so the
+    # checkpoint tree stays config-determined (models.latent_d_params is
+    # the eval-side accessor).
+    biadv = adv and cfg.adversarial.variant == "biadversarial"
     disc = LatentDiscriminator(tuple(cfg.adversarial.d_widths)) if adv else None
+    pxd = (PixelDiscriminator(tuple(cfg.adversarial.pixel_d_widths))
+           if biadv else None)
     tx = _make_optimizer(cfg)
     d_tx = _make_d_optimizer(cfg) if adv else None
 
@@ -122,16 +131,29 @@ def make_train_fns(cfg: Config) -> TrainFns:
     def d_apply(d_params, z):
         return disc.apply({"params": d_params}, z)
 
+    def px_apply(px_params, x):
+        return pxd.apply({"params": px_params}, x)
+
+    def d_lat(d_params):
+        return d_params["latent"] if biadv else d_params
+
     # -- init ---------------------------------------------------------------
 
     def init_fn(rng: jax.Array) -> TrainState:
+        # The pixel D's key is folded from k_disc rather than widening the
+        # split: split(rng, 4) would shift EVERY variant's init streams and
+        # silently de-reproduce all recorded seeded runs.
         k_model, k_disc, k_state = jax.random.split(rng, 3)
+        k_px = jax.random.fold_in(k_disc, 1)
         h, w, c = cfg.model.image_shape
         x_dummy = jnp.zeros((2, h, w, c), jnp.float32)
         z_dummy = jnp.zeros((2, cfg.model.z_dim), jnp.float32)
         params = model.init(k_model, x_dummy, z_dummy)["params"]
         if adv:
             d_params = disc.init(k_disc, z_dummy)["params"]
+            if biadv:
+                d_params = {"latent": d_params,
+                            "pixel": pxd.init(k_px, x_dummy)["params"]}
             d_opt_state = d_tx.init(d_params)
         else:
             d_params, d_opt_state = {}, ()
@@ -172,10 +194,12 @@ def make_train_fns(cfg: Config) -> TrainFns:
         multi-sample importance-weighted objective with the configured
         gradient estimator; adversarial coupling mirrors the elbo path
         (see losses.iwae_objective)."""
-        d_fn = None
+        d_fn = px_fn = None
         if adv:
             d_params = jax.lax.stop_gradient(state.d_params)
-            d_fn = lambda z: d_apply(d_params, z)
+            d_fn = lambda z: d_apply(d_lat(d_params), z)
+            if biadv:
+                px_fn = lambda x: px_apply(d_params["pixel"], x)
 
         def loss_fn(params):
             objective, aux, z_q = L.iwae_objective(
@@ -183,7 +207,8 @@ def make_train_fns(cfg: Config) -> TrainFns:
                 cfg.model.likelihood, cfg.train.iwae_k, beta,
                 cfg.train.iwae_grad, d_apply=d_fn,
                 adv_variant=cfg.adversarial.variant if adv else None,
-                adv_weight=cfg.adversarial.weight)
+                adv_weight=cfg.adversarial.weight, px_apply=px_fn,
+                px_weight=cfg.adversarial.pixel_weight if biadv else 0.0)
             aux["elbo"] = aux["recon"] - aux["kl"]   # MC-ELBO for reporting
             if adv:
                 aux["z_q"] = z_q
@@ -209,7 +234,8 @@ def make_train_fns(cfg: Config) -> TrainFns:
             aux = {"recon": jnp.mean(recon), "kl": jnp.mean(kl)}
             per_sample = recon                   # non-KL objective terms [B]
             if adv:
-                d_logits = d_apply(jax.lax.stop_gradient(state.d_params), z)
+                sg_d = jax.lax.stop_gradient(state.d_params)
+                d_logits = d_apply(d_lat(sg_d), z)
                 adv_term = L.generator_adv_term(d_logits,
                                                 cfg.adversarial.variant)
                 # learned_prior: D(z) is part of log p*(z), so it carries
@@ -218,11 +244,23 @@ def make_train_fns(cfg: Config) -> TrainFns:
                 # objective during β warmup (observed: D saturates, g_adv
                 # grows unchecked). AAE's regularizer is independent of β.
                 adv_w = cfg.adversarial.weight
-                if cfg.adversarial.variant == "learned_prior":
+                if cfg.adversarial.variant in ("learned_prior",
+                                               "biadversarial"):
                     adv_w = adv_w * beta
                 per_sample = per_sample + adv_w * adv_term
                 aux["g_adv"] = jnp.mean(adv_term)
                 aux["z_q"] = jax.lax.stop_gradient(z)
+                if biadv:
+                    # Pixel-space adversarial term on the decoded mean:
+                    # β-independent (a data-space regularizer, not part of
+                    # the prior); gradient reaches the decoder through x̂.
+                    x_hat = L.likelihood_pixel_mean(
+                        out, cfg.model.likelihood, x_target.shape[-1])
+                    px_term = L.pixel_g_term(px_apply(sg_d["pixel"], x_hat))
+                    per_sample = per_sample + (cfg.adversarial.pixel_weight
+                                               * px_term)
+                    aux["g_px"] = jnp.mean(px_term)
+                    aux["x_hat"] = jax.lax.stop_gradient(x_hat)
             # KL objective term: plain batch-mean KL, or the free-bits
             # floored version (gradient-only change; metrics stay true KL).
             if cfg.train.free_bits > 0.0:
@@ -242,9 +280,13 @@ def make_train_fns(cfg: Config) -> TrainFns:
         aux["grad_norm"] = optax.global_norm(grads)
         return state.replace(params=params, opt_state=opt_state), aux, z_q
 
-    def d_phase(state: TrainState, x_in, key, z_q=None):
-        """One discriminator update; ``z_q`` reuses posterior samples from
-        the G forward (saves a full encoder pass — see train_step)."""
+    def d_phase(state: TrainState, x_in, x_target, key, z_q=None,
+                x_hat=None):
+        """One discriminator update; ``z_q``/``x_hat`` reuse the G forward's
+        posterior samples / decoded means (saves a full encoder — and for
+        biadversarial a decoder — pass; see train_step). Biadversarial
+        updates BOTH discriminators jointly: latent BCE on {z_q vs z_p} +
+        pixel BCE on {x_target (real) vs x̂ (fake)}."""
         k_post, k_prior = jax.random.split(key)
         if z_q is None:
             # Posterior samples with NO gradient into the VAE.
@@ -252,19 +294,36 @@ def make_train_fns(cfg: Config) -> TrainFns:
             z_q = ops.reparam_sample(k_post, mean, logvar)
             z_q = jax.lax.stop_gradient(z_q)
         z_p = jax.random.normal(k_prior, z_q.shape, jnp.float32)
+        if biadv and x_hat is None:
+            out = decode(jax.lax.stop_gradient(state.params), z_q)
+            x_hat = jax.lax.stop_gradient(L.likelihood_pixel_mean(
+                out, cfg.model.likelihood, x_target.shape[-1]))
 
         def loss_fn(d_params):
-            return L.discriminator_loss(
-                d_apply(d_params, z_q), d_apply(d_params, z_p),
+            dl = d_lat(d_params)
+            d_loss, d_acc = L.discriminator_loss(
+                d_apply(dl, z_q), d_apply(dl, z_p),
                 cfg.adversarial.label_smoothing)
+            aux = {"d_loss": d_loss, "d_acc": d_acc}
+            total = d_loss
+            if biadv:
+                # Real images → class 1, decoded means → class 0 (same
+                # convention as the latent D's posterior-vs-prior split).
+                px_loss, px_acc = L.discriminator_loss(
+                    px_apply(d_params["pixel"], x_target),
+                    px_apply(d_params["pixel"], x_hat),
+                    cfg.adversarial.label_smoothing)
+                aux.update(px_d_loss=px_loss, px_d_acc=px_acc)
+                total = total + px_loss
+            return total, aux
 
-        (d_loss, d_acc), d_grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (_, d_metrics), d_grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.d_params)
         updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state,
                                            state.d_params)
         d_params = optax.apply_updates(state.d_params, updates)
         return (state.replace(d_params=d_params, d_opt_state=d_opt_state),
-                {"d_loss": d_loss, "d_acc": d_acc})
+                d_metrics)
 
     # -- validation step (periodic Evaluator.run() parity, SURVEY.md §3.1) --
 
@@ -289,12 +348,13 @@ def make_train_fns(cfg: Config) -> TrainFns:
 
         metrics = {}
 
-        def run_d_phases(state, z_q=None):
+        def run_d_phases(state, z_q=None, x_hat=None):
             # n_critic D updates; metrics are the MEAN over critic steps
             # (n_critic=0 is a valid knob: skip D entirely, report nothing).
             d_ms = []
             for i in range(cfg.adversarial.n_critic):
-                state, dm = d_phase(state, x_in, k_ds[i], z_q=z_q)
+                state, dm = d_phase(state, x_in, x_target, k_ds[i],
+                                    z_q=z_q, x_hat=x_hat)
                 d_ms.append(dm)
             if d_ms:
                 metrics.update({k: jnp.mean(jnp.stack([m[k] for m in d_ms]))
@@ -307,13 +367,14 @@ def make_train_fns(cfg: Config) -> TrainFns:
             state = run_d_phases(state)
         g_fn = g_phase_iwae if cfg.train.objective == "iwae" else g_phase
         state, g_metrics, z_q = g_fn(state, x_in, x_target, k_g, beta)
+        x_hat = g_metrics.pop("x_hat", None)
         metrics.update(g_metrics)
         if adv and cfg.adversarial.d_reuse_posterior:
             # G-then-D variant: D reuses the G forward's posterior samples
             # (z_q drawn under pre-update params, exactly what a D-first
             # step would have seen) — saves one full encoder forward per
             # step. Fresh prior samples per critic step either way.
-            state = run_d_phases(state, z_q=z_q)
+            state = run_d_phases(state, z_q=z_q, x_hat=x_hat)
         if cfg.train.ema_decay > 0.0:
             d = cfg.train.ema_decay
             state = state.replace(ema_params=jax.tree.map(

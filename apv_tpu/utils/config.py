@@ -52,9 +52,19 @@ class AdversarialConfig:
     enabled: bool = False
     # 'learned_prior': density-ratio-shaped prior p*(z) ∝ p0(z)·e^{D(z)}
     # 'aae': adversarial posterior-matching regularizer, prior stays N(0,I)
+    # 'biadversarial': learned_prior PLUS a second, pixel-space conv
+    #   discriminator on decoded reconstructions (the two-discriminator
+    #   scheme SURVEY.md §8 item 3 names as a candidate reading of the
+    #   reference's objective, per its arXiv 1902.03517 lineage; exact
+    #   scheme unverifiable in-env, so this is the config-switchable hedge)
     # (variant is the survey's #1 [I] uncertainty — SURVEY.md §2.4)
     variant: str = "learned_prior"
     weight: float = 1.0                        # λ on the generator's adv term
+    # biadversarial only: λ on the generator's pixel-space adversarial term
+    # (non-saturating log σ(D_x(x̂))) and the conv D_x's stage widths.
+    # D_x shares d_lr, label_smoothing, and n_critic with the latent D.
+    pixel_weight: float = 0.05
+    pixel_d_widths: tuple[int, ...] = (32, 64, 128)
     n_critic: int = 1                          # D steps per G step
     # Reuse the G forward's posterior samples for the D phase (G-then-D
     # ordering) — saves one encoder forward per step; False restores the
