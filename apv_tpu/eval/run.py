@@ -59,15 +59,18 @@ def _host_shard() -> tuple[int, int] | None:
     return host_shard()
 
 
-def _eval_batch_size(requested: int, n_rows: int) -> int:
-    """Effective eval batch: capped by the split size and, under
-    jax.distributed, rounded down to a process-count multiple (the shared
-    rounding rule lives in parallel/multihost.round_global_batch — the
-    train loop's valid batches use the same call)."""
+def _eval_batch_size(requested: int, n_rows: int, mesh) -> int:
+    """Effective eval batch: capped by the split size and rounded down to
+    a multiple of lcm(process count, mesh data-axis size) — the batch axis
+    is device_put-sharded over the mesh's data axis, so both divisibility
+    constraints apply (the shared rounding rule lives in
+    parallel/multihost.round_global_batch — the train loop's valid batches
+    use the same call)."""
     from apv_tpu.parallel.multihost import round_global_batch
     hs = _host_shard()
     return round_global_batch(min(requested, n_rows),
-                              pcount=None if hs is None else hs[1])
+                              pcount=None if hs is None else hs[1],
+                              n_shards=mesh.shape["data"])
 
 
 def _local_rows(arr: jax.Array) -> np.ndarray:
@@ -117,7 +120,7 @@ def posterior_activity(cfg: Config, params, *, mesh=None,
     arrays = eval_arrays(cfg, dataset, max_examples or cfg.eval.max_examples)
     batch_size = batch_size if batch_size is not None else cfg.eval.batch_size
     batcher = Batcher(arrays,
-                      _eval_batch_size(batch_size, len(arrays["image"])),
+                      _eval_batch_size(batch_size, len(arrays["image"]), mesh),
                       shuffle=False, host_shard=_host_shard())
     params = jax.device_put(params, replicated(mesh))
     pcount = jax.process_count()
@@ -239,7 +242,7 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
     # global batch; prefetch_to_device assembles the global sharded array
     # (multihost.put_batch) exactly as the train loop does.
     batcher = Batcher(arrays,
-                      _eval_batch_size(batch_size, len(arrays["image"])),
+                      _eval_batch_size(batch_size, len(arrays["image"]), mesh),
                       shuffle=False, host_shard=_host_shard())
     shard = data_sharding(mesh)
     rep = replicated(mesh)

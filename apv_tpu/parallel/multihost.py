@@ -62,18 +62,23 @@ def host_shard() -> tuple[int, int] | None:
     return (jax.process_index(), jax.process_count())
 
 
-def round_global_batch(bs: int, pcount: int | None = None) -> int:
-    """Largest ``pcount`` multiple of ``bs`` (floored at one row per
-    process): the Batcher requires the global batch to split evenly across
-    hosts. The single owner of this rounding rule — the train loop's
-    valid batches and the eval batch loops both call it. ``pcount``
-    defaults to ``jax.process_count()``; callers that already carry a
-    host-shard spec pass its count (keeps simulated-multi-host tests in
-    control of the value)."""
+def round_global_batch(bs: int, pcount: int | None = None,
+                       n_shards: int = 1) -> int:
+    """Largest multiple of lcm(``pcount``, ``n_shards``) ≤ ``bs`` (floored
+    at one such multiple): the Batcher requires the global batch to split
+    evenly across hosts AND the batch-axis device_put requires divisibility
+    by the mesh's data-axis size. The single owner of this rounding rule —
+    the train loop's valid batches and the eval batch loops both call it.
+    ``pcount`` defaults to ``jax.process_count()``; callers that already
+    carry a host-shard spec pass its count (keeps simulated-multi-host
+    tests in control of the value); callers that shard over a mesh pass
+    its data-axis size as ``n_shards``."""
+    import math
     pcount = jax.process_count() if pcount is None else pcount
-    if pcount == 1:
+    div = math.lcm(pcount, n_shards)
+    if div == 1:
         return bs
-    return max(pcount, (bs // pcount) * pcount)
+    return max(div, (bs // div) * div)
 
 
 def agree_max(value: int | None) -> int | None:

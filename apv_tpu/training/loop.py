@@ -20,6 +20,7 @@ from apv_tpu.data import (Batcher, load_dataset, prefetch_to_device,
 from apv_tpu.data.preprocess import pack_bits
 from apv_tpu.parallel import (data_sharding, make_mesh, replicated,
                               stacked_data_sharding)
+from apv_tpu.parallel.mesh import DATA_AXIS
 from apv_tpu.parallel import multihost
 from apv_tpu.training.state import TrainState
 from apv_tpu.training.step import make_train_fns
@@ -181,7 +182,8 @@ def train_loop(cfg: Config, *, mesh=None, max_steps: int | None = None,
         # rounded with the SAME host_shard the Batcher below receives
         vbs = multihost.round_global_batch(
             min(cfg.train.batch_size, n_valid_rows),
-            pcount=None if host_shard is None else host_shard[1])
+            pcount=None if host_shard is None else host_shard[1],
+            n_shards=mesh.shape[DATA_AXIS])
         vb = Batcher(valid_arrays, vbs, shuffle=False, host_shard=host_shard)
         shard = data_sharding(mesh)
         valid_batches = [multihost.put_batch(b, shard) for b in vb.epoch()]

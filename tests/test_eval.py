@@ -460,13 +460,25 @@ def test_assemble_global_reorders_process_major_gather():
 
 
 def test_eval_batch_size_rounds_to_host_multiple(monkeypatch):
-    """Under jax.distributed the eval batch must split evenly across hosts
-    (Batcher contract) — mirror of the train loop's valid-batch rounding."""
+    """The eval batch must split evenly across hosts (Batcher contract) AND
+    across the mesh's data axis (batch-axis device_put) — mirror of the
+    train loop's valid-batch rounding."""
+    from types import SimpleNamespace
+
     from apv_tpu.eval import run as eval_run
 
+    mesh1 = SimpleNamespace(shape={"data": 1})
+    mesh8 = SimpleNamespace(shape={"data": 8})
     monkeypatch.setattr(eval_run, "_host_shard", lambda: (0, 4))
-    assert eval_run._eval_batch_size(50, 1000) == 48
-    assert eval_run._eval_batch_size(64, 50) == 48
-    assert eval_run._eval_batch_size(3, 1000) == 4   # floor: one row/host
+    assert eval_run._eval_batch_size(50, 1000, mesh1) == 48
+    assert eval_run._eval_batch_size(64, 50, mesh1) == 48
+    assert eval_run._eval_batch_size(3, 1000, mesh1) == 4  # floor: 1 row/host
     monkeypatch.setattr(eval_run, "_host_shard", lambda: None)
-    assert eval_run._eval_batch_size(64, 50) == 50
+    assert eval_run._eval_batch_size(64, 50, mesh1) == 50
+    # mesh data-axis rounding (single process): 50 rows over 8 devices
+    assert eval_run._eval_batch_size(64, 50, mesh8) == 48
+    assert eval_run._eval_batch_size(12, 12, mesh8) == 8
+    # both constraints at once: lcm(pcount=4, shards=8) = 8
+    monkeypatch.setattr(eval_run, "_host_shard", lambda: (0, 4))
+    assert eval_run._eval_batch_size(50, 1000, mesh8) == 48
+    assert eval_run._eval_batch_size(3, 1000, mesh8) == 8

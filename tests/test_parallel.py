@@ -160,5 +160,12 @@ def test_round_global_batch_and_agree_max_single_process():
     what train valid-batches and eval batches both delegate to)."""
     from apv_tpu.parallel.multihost import agree_max, round_global_batch
     assert round_global_batch(37) == 37       # pcount=1: identity
+    assert round_global_batch(37, pcount=4) == 36
+    assert round_global_batch(3, pcount=4) == 4          # floor: 1 row/proc
+    # mesh data-axis divisibility (batch-axis device_put constraint)
+    assert round_global_batch(12, pcount=1, n_shards=8) == 8
+    assert round_global_batch(37, pcount=1, n_shards=8) == 32
+    assert round_global_batch(37, pcount=4, n_shards=8) == 32  # lcm(4,8)=8
+    assert round_global_batch(37, pcount=3, n_shards=4) == 36  # lcm=12
     assert agree_max(None) is None
     assert agree_max(1200) == 1200
