@@ -296,7 +296,9 @@ def _load_named_model(cfg: Config, name: str):
     if cfg_b is None:
         cfg_b = get_preset(name)
     state_b = _restore_state(cfg_b)
-    d_params_b = _d(state_b, cfg_b)
+    # FULL d_params tree — the ood module routes latent/pixel subtrees
+    # itself (models.latent_d_params); see eval/ood.py module docstring.
+    d_params_b = state_b.d_params if cfg_b.adversarial.enabled else None
     # _p honours the named model's own train.ema_decay — scoring its raw
     # params while the primary model is scored with its Polyak average
     # would bias two-model ratios for EMA-trained checkpoints
@@ -318,7 +320,9 @@ def ood_score(config: str | Config = "ood_suite", *,
     cfg = _adopt_checkpoint_arch(_resolve(config, overrides), overrides,
                                  checkpoint_dir)
     state = _restore_state(cfg, checkpoint_dir)
-    d_params = _d(state, cfg)
+    # FULL d_params tree (ood routes subtrees itself — pixel_d needs the
+    # pixel one, likelihood scores the latent one)
+    d_params = state.d_params if cfg.adversarial.enabled else None
     baseline = (None if cfg.ood.baseline_of is None
                 else _load_named_model(cfg, cfg.ood.baseline_of))
     if both:

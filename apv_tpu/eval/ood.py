@@ -18,6 +18,13 @@ exact ratio is [I]-level, SURVEY.md §3.5, so all plausible readings ship):
   adversarial-prior model, B = plain-prior baseline (``ood.baseline_of``).
   Both models score the SAME examples (data/eval settings are forced to
   the primary config's).
+* ``pixel_d``: the biadversarial pixel discriminator's realness logit
+  D_x(x) — one conv forward per image, no IWAE scan (biadversarial
+  checkpoints only; eval/run.pixel_d_scores).
+
+``d_params`` throughout this module is the checkpoint's FULL d_params
+tree (biadversarial: {'latent', 'pixel'}); likelihood scores route the
+latent subtree via ``models.latent_d_params``, ``pixel_d`` the pixel one.
 
 ``ood_both`` runs both pair directions (MNIST↔FashionMNIST etc.) in one
 invocation, optionally with a second checkpoint trained on the other
@@ -67,17 +74,32 @@ def ood_scores(cfg: Config, params, d_params=None, *, mesh=None,
     ``score='model_ratio'`` (the denominator model). Returns per-direction
     AUROCs and summary stats.
     """
+    from apv_tpu.models import latent_d_params
+
     score = cfg.ood.score
     k = cfg.ood.iwae_k if score != "elbo" else 1
+    d_lat = latent_d_params(cfg.adversarial.variant, d_params)
 
     def score_dataset(name: str) -> np.ndarray:
+        if score == "pixel_d":
+            if (not cfg.adversarial.enabled
+                    or cfg.adversarial.variant != "biadversarial"
+                    or not (isinstance(d_params, dict)
+                            and "pixel" in d_params)):
+                raise ValueError(
+                    "pixel_d score needs a biadversarial checkpoint "
+                    "(adversarial.variant=biadversarial trains the "
+                    "pixel-space discriminator it scores with)")
+            from apv_tpu.eval.run import pixel_d_scores
+            return pixel_d_scores(cfg, d_params["pixel"], mesh=mesh,
+                                  dataset=name)
         if score == "prior_ratio":
-            if d_params is None or not cfg.adversarial.enabled:
+            if d_lat is None or not cfg.adversarial.enabled:
                 raise ValueError(
                     "prior_ratio score needs an adversarial checkpoint")
-            adv = _per_sample(cfg, params, d_params, name, use_adv=True,
+            adv = _per_sample(cfg, params, d_lat, name, use_adv=True,
                               k=k, mesh=mesh, seed=seed)
-            base = _per_sample(cfg, params, d_params, name, use_adv=False,
+            base = _per_sample(cfg, params, d_lat, name, use_adv=False,
                                k=k, mesh=mesh, seed=seed)
             return adv - base
         if score == "model_ratio":
@@ -86,14 +108,16 @@ def ood_scores(cfg: Config, params, d_params=None, *, mesh=None,
                                  "(ood.baseline_of)")
             cfg_b, params_b, d_params_b = baseline
             cfg_b = _align_to(cfg, cfg_b)
-            a = _per_sample(cfg, params, d_params, name,
+            a = _per_sample(cfg, params, d_lat, name,
                             use_adv=cfg.adversarial.enabled, k=k, mesh=mesh,
                             seed=seed)
-            b = _per_sample(cfg_b, params_b, d_params_b, name,
+            b = _per_sample(cfg_b, params_b,
+                            latent_d_params(cfg_b.adversarial.variant,
+                                            d_params_b), name,
                             use_adv=cfg_b.adversarial.enabled, k=k,
                             mesh=mesh, seed=seed)
             return a - b
-        return _per_sample(cfg, params, d_params, name,
+        return _per_sample(cfg, params, d_lat, name,
                            use_adv=cfg.adversarial.enabled, k=k, mesh=mesh,
                            seed=seed)
 

@@ -152,6 +152,47 @@ def posterior_activity(cfg: Config, params, *, mesh=None,
     }
 
 
+def pixel_d_scores(cfg: Config, px_params, *, mesh=None,
+                   dataset: str | None = None,
+                   max_examples: int | None = None,
+                   batch_size: int | None = None) -> np.ndarray:
+    """Per-sample pixel-discriminator logits D_x(x) over a test split —
+    the ``ood.score='pixel_d'`` scorer (biadversarial checkpoints only).
+
+    D_x was trained to separate real in-distribution images (class 1)
+    from decoded means (class 0), so its logit is a single-forward
+    "looks like the training data" score: no IWAE scan, no decoder — one
+    conv-stack forward per image. Inputs are scored in the same target
+    space the training D saw (binary pixels / [0,1] levels)."""
+    from apv_tpu.models import PixelDiscriminator
+
+    mesh = mesh if mesh is not None else make_mesh()
+    pxd = PixelDiscriminator(tuple(cfg.adversarial.pixel_d_widths))
+    apply_fn = jax.jit(lambda p, x: pxd.apply({"params": p}, x))
+
+    arrays = eval_arrays(cfg, dataset, max_examples or cfg.ood.max_examples)
+    batch_size = batch_size if batch_size is not None else cfg.ood.batch_size
+    batcher = Batcher(arrays,
+                      _eval_batch_size(batch_size, len(arrays["image"]),
+                                       mesh),
+                      shuffle=False, host_shard=_host_shard())
+    px_params = jax.device_put(px_params, replicated(mesh))
+    pcount = jax.process_count()
+
+    def prepped():
+        for batch in batcher.epoch():
+            # score the TARGET space (what the training D saw as 'real')
+            yield {"x": _prep_eval_batch(cfg, batch["image"])[1]}
+
+    scores = []
+    with mesh:
+        for b in prefetch_to_device(prepped(), data_sharding(mesh)):
+            logits = apply_fn(px_params, b["x"])
+            scores.append(np.asarray(logits) if pcount == 1
+                          else _local_rows(logits))
+    return _assemble_global(scores, pcount)
+
+
 def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
                  dataset: str | None = None, k: int | None = None,
                  chunk: int | None = None, max_examples: int | None = None,

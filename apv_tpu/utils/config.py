@@ -184,6 +184,9 @@ class OODConfig:
     # 'model_ratio': the other reading — per-sample score under TWO models
     #   (this checkpoint vs the ``baseline_of`` checkpoint, e.g.
     #   adversarial-prior vs plain-prior).
+    # 'pixel_d': the biadversarial pixel discriminator's realness logit
+    #   D_x(x) — one conv forward per image, no IWAE (biadversarial
+    #   checkpoints only).
     score: str = "prior_ratio"
     iwae_k: int = 100
     iwae_chunk: int = 50
