@@ -80,6 +80,10 @@ def main(argv: list[str] | None = None) -> int:
                        help="also score the reversed dataset-pair direction "
                             "(uses ood.reverse_of checkpoint when set)")
 
+    sub.add_parser("presets",
+                   help="list the named config presets (the five reference "
+                        "configs) with their docstrings")
+
     p_exp = sub.add_parser("export",
                            help="AOT-export a serving artifact (StableHLO)")
     _add_common(p_exp, "mnist_vae")
@@ -91,6 +95,14 @@ def main(argv: list[str] | None = None) -> int:
                             "baked params (sampler only; ~4x smaller)")
 
     args = parser.parse_args(argv)
+    if args.command == "presets":
+        # No backend init: listing configs must not touch the TPU (one
+        # process at a time on this relay).
+        from apv_tpu.utils.config import PRESETS
+        for name, factory in PRESETS.items():
+            doc = (factory.__doc__ or "").strip().splitlines()[0]
+            print(f"{name:24s} {doc}")
+        return 0
     if getattr(args, "platform", None):
         import jax
         jax.config.update("jax_platforms", args.platform)

@@ -154,3 +154,16 @@ def test_metric_logger_nonprimary_writes_nothing(tmp_path, monkeypatch):
     lg.write_json("x.json", {"a": 1})
     assert not (tmp_path / "np" / "metrics.jsonl").exists()
     assert not (tmp_path / "np" / "x.json").exists()
+
+
+def test_cli_presets_lists_all(capsys):
+    """`apv presets` lists every registered preset with its docstring
+    headline, without touching any JAX backend (one-TPU-process rule)."""
+    from apv_tpu.cli import main
+    from apv_tpu.utils.config import PRESETS
+
+    assert main(["presets"]) == 0
+    out = capsys.readouterr().out
+    for name in PRESETS:
+        assert name in out
+    assert "Config 1" in out and "Config 5" in out
