@@ -100,7 +100,7 @@ def main(argv: list[str] | None = None) -> int:
         # process at a time on this relay).
         from apv_tpu.utils.config import PRESETS
         for name, factory in PRESETS.items():
-            doc = (factory.__doc__ or "").strip().splitlines()[0]
+            doc = ((factory.__doc__ or "").strip().splitlines() or [""])[0]
             print(f"{name:24s} {doc}")
         return 0
     if getattr(args, "platform", None):

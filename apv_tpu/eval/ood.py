@@ -117,6 +117,12 @@ def ood_scores(cfg: Config, params, d_params=None, *, mesh=None,
                             use_adv=cfg_b.adversarial.enabled, k=k,
                             mesh=mesh, seed=seed)
             return a - b
+        if score not in ("iwae", "elbo"):
+            # An unrecognized name must not silently fall through to the
+            # expensive IWAE scorer under the typo'd label.
+            raise ValueError(
+                f"unknown ood.score {score!r} (iwae | elbo | prior_ratio "
+                "| model_ratio | pixel_d)")
         return _per_sample(cfg, params, d_lat, name,
                            use_adv=cfg.adversarial.enabled, k=k, mesh=mesh,
                            seed=seed)

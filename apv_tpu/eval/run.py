@@ -6,6 +6,7 @@ sees centered bin centers, the likelihood scores the discrete levels.
 
 from __future__ import annotations
 
+import functools
 import warnings
 
 import jax
@@ -66,11 +67,23 @@ def _eval_batch_size(requested: int, n_rows: int, mesh) -> int:
     constraints apply (the shared rounding rule lives in
     parallel/multihost.round_global_batch — the train loop's valid batches
     use the same call)."""
+    from apv_tpu.parallel.mesh import DATA_AXIS
     from apv_tpu.parallel.multihost import round_global_batch
     hs = _host_shard()
-    return round_global_batch(min(requested, n_rows),
-                              pcount=None if hs is None else hs[1],
-                              n_shards=mesh.shape["data"])
+    bs = round_global_batch(min(requested, n_rows),
+                            pcount=None if hs is None else hs[1],
+                            n_shards=mesh.shape[DATA_AXIS])
+    if bs > n_rows:
+        # The rounding floor exceeded the split: a drop-remainder Batcher
+        # would yield ZERO batches and the score loop would die in an
+        # opaque np.stack([]) — fail here with the cause instead (the
+        # train loop's valid split has the same guard, loop.py).
+        raise ValueError(
+            f"eval split has only {n_rows} rows but the smallest batch "
+            f"that tiles {mesh.shape[DATA_AXIS]} mesh devices x "
+            f"{jax.process_count()} processes is {bs}; raise max_examples "
+            "or evaluate on a smaller mesh")
+    return bs
 
 
 def _local_rows(arr: jax.Array) -> np.ndarray:
@@ -152,6 +165,12 @@ def posterior_activity(cfg: Config, params, *, mesh=None,
     }
 
 
+@functools.lru_cache(maxsize=8)
+def _jitted_d_apply(disc):
+    from apv_tpu.models import d_apply_fn
+    return jax.jit(d_apply_fn(disc))
+
+
 def pixel_d_scores(cfg: Config, px_params, *, mesh=None,
                    dataset: str | None = None,
                    max_examples: int | None = None,
@@ -168,7 +187,10 @@ def pixel_d_scores(cfg: Config, px_params, *, mesh=None,
 
     mesh = mesh if mesh is not None else make_mesh()
     pxd = PixelDiscriminator(tuple(cfg.adversarial.pixel_d_widths))
-    apply_fn = jax.jit(lambda p, x: pxd.apply({"params": p}, x))
+    # lru-cached jitted apply: one compile per architecture+shape, not one
+    # per pixel_d_scores call (ood invokes this twice per suite, four times
+    # with --both; compile time is the relay's documented bottleneck).
+    apply_fn = _jitted_d_apply(pxd)
 
     arrays = eval_arrays(cfg, dataset, max_examples or cfg.ood.max_examples)
     batch_size = batch_size if batch_size is not None else cfg.ood.batch_size

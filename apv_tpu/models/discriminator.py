@@ -17,8 +17,9 @@ import jax.numpy as jnp
 
 
 @functools.lru_cache(maxsize=32)
-def d_apply_fn(disc: "LatentDiscriminator"):
-    """Stable ``f(d_params, z) -> logits`` for a given discriminator config.
+def d_apply_fn(disc):
+    """Stable ``f(d_params, x) -> logits`` for a given discriminator config
+    (works for both LatentDiscriminator and PixelDiscriminator).
 
     Callers that close over ``disc.apply`` ad hoc create a fresh function
     object per call, which defeats downstream jit caches keyed on function

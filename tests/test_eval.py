@@ -482,3 +482,21 @@ def test_eval_batch_size_rounds_to_host_multiple(monkeypatch):
     monkeypatch.setattr(eval_run, "_host_shard", lambda: (0, 4))
     assert eval_run._eval_batch_size(50, 1000, mesh8) == 48
     assert eval_run._eval_batch_size(3, 1000, mesh8) == 8
+    # split smaller than the smallest sharded batch: loud error, not a
+    # zero-batch Batcher dying in an opaque np.stack([])
+    import pytest
+    monkeypatch.setattr(eval_run, "_host_shard", lambda: None)
+    with pytest.raises(ValueError, match="raise max_examples"):
+        eval_run._eval_batch_size(64, 4, mesh8)
+
+
+def test_ood_unknown_score_raises():
+    """A misspelled ood.score must error, not silently run the expensive
+    IWAE scorer under the typo'd name."""
+    import pytest
+
+    from apv_tpu.eval.ood import ood_scores
+
+    cfg = tiny_config("mnist_advprior", **{"ood.score": "pixel-d"})
+    with pytest.raises(ValueError, match="unknown ood.score"):
+        ood_scores(cfg, params={}, d_params=None)
