@@ -124,6 +124,23 @@ def pixel_g_term(dx_logits: jax.Array) -> jax.Array:
     return -jax.nn.softplus(-dx_logits)
 
 
+def r1_penalty(d_fn: Callable, x_real: jax.Array) -> jax.Array:
+    """R1 zero-centered gradient penalty ½·E[‖∇_x D(x)‖²] on real samples
+    (Mescheder et al. 2018, arXiv 1801.04406 eq. 9) — penalizes D for
+    sharp decision surfaces at the data, the standard saturation fix.
+    Differentiable in D's params (the caller takes a second grad through
+    the per-sample input gradients). ``x_real`` may be [B, D] (latent D)
+    or [B, H, W, C] (pixel D); the norm reduces all non-batch axes.
+
+    ∇_x Σ_b D(x_b) IS the stack of per-sample gradients because neither
+    discriminator couples samples across the batch (no batch norm — a
+    deliberate design choice documented on PixelDiscriminator), so one
+    backward replaces a vmap-of-grad."""
+    g = jax.grad(lambda x: jnp.sum(d_fn(x)))(x_real)
+    sq = jnp.sum(g.reshape(g.shape[0], -1).astype(jnp.float32) ** 2, axis=-1)
+    return 0.5 * jnp.mean(sq)
+
+
 def discriminator_loss(d_logits_q: jax.Array, d_logits_p: jax.Array,
                        label_smoothing: float = 0.0):
     """BCE: posterior samples → class 1, prior samples → class 0.

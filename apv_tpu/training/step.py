@@ -306,6 +306,18 @@ def make_train_fns(cfg: Config) -> TrainFns:
                 cfg.adversarial.label_smoothing)
             aux = {"d_loss": d_loss, "d_acc": d_acc}
             total = d_loss
+            gamma = cfg.adversarial.r1_gamma
+            if gamma > 0.0:
+                # R1 zero-centered gradient penalty on the REAL side
+                # (class 1 = posterior samples; Mescheder et al. 2018,
+                # arXiv 1801.04406 eq. 9): γ/2·E_q‖∇_z D(z)‖² — the
+                # standard fix for D saturation (observed: d_acc pins at
+                # 1.0 on the CIFAR runs). Nested grad: the penalty is a
+                # function of d_params through ∇_z, so autodiff carries
+                # d(r1)/d(d_params) through a second backward.
+                r1 = L.r1_penalty(lambda z: d_apply(dl, z), z_q)
+                aux["d_r1"] = r1
+                total = total + gamma * r1
             if biadv:
                 # Real images → class 1, decoded means → class 0 (same
                 # convention as the latent D's posterior-vs-prior split).
@@ -315,6 +327,13 @@ def make_train_fns(cfg: Config) -> TrainFns:
                     cfg.adversarial.label_smoothing)
                 aux.update(px_d_loss=px_loss, px_d_acc=px_acc)
                 total = total + px_loss
+                if gamma > 0.0:
+                    # Same regularizer on the image D (StyleGAN-style R1
+                    # on real images).
+                    px_r1 = L.r1_penalty(
+                        lambda x: px_apply(d_params["pixel"], x), x_target)
+                    aux["px_d_r1"] = px_r1
+                    total = total + gamma * px_r1
             return total, aux
 
         (_, d_metrics), d_grads = jax.value_and_grad(loss_fn, has_aux=True)(

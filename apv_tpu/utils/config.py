@@ -65,6 +65,12 @@ class AdversarialConfig:
     # D_x shares d_lr, label_smoothing, and n_critic with the latent D.
     pixel_weight: float = 0.05
     pixel_d_widths: tuple[int, ...] = (32, 64, 128)
+    # R1 zero-centered gradient penalty γ/2·E_real‖∇D‖² on the D phase
+    # (arXiv 1801.04406; 0 = off). The measured CIFAR failure mode is D
+    # saturation (d_acc pins at 1.0) — label smoothing is the snapped
+    # mitigation; this is the paper-standard alternative/compound knob.
+    # Applies to the latent D, and to the pixel D under biadversarial.
+    r1_gamma: float = 0.0
     n_critic: int = 1                          # D steps per G step
     # Reuse the G forward's posterior samples for the D phase (G-then-D
     # ordering) — saves one encoder forward per step; False restores the

@@ -596,3 +596,88 @@ def test_free_bits_training_removes_kl_pull():
     np.testing.assert_allclose(hist0[0]["kl"], hist1[0]["kl"], rtol=1e-5)
     assert hist1[-1]["kl"] >= hist0[-1]["kl"] - 1e-3, (
         hist0[-1]["kl"], hist1[-1]["kl"])
+
+
+def test_r1_penalty_closed_form():
+    """r1_penalty matches the hand-computed value for a linear 'D':
+    D(x) = w·x has ∇_x D = w everywhere, so R1 = ½‖w‖² exactly, for both
+    flat [B,D] and image-shaped [B,H,W,C] inputs."""
+    from apv_tpu.training.losses import r1_penalty
+
+    w = jnp.asarray([1.0, -2.0, 3.0])
+    d_flat = lambda x: x @ w                              # noqa: E731
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 3)),
+                    jnp.float32)
+    np.testing.assert_allclose(float(r1_penalty(d_flat, x)),
+                               0.5 * float(jnp.sum(w ** 2)), rtol=1e-6)
+
+    wimg = jnp.ones((2, 2, 1)) * 0.5
+    d_img = lambda x: jnp.sum(x * wimg, axis=(1, 2, 3))   # noqa: E731
+    ximg = jnp.zeros((4, 2, 2, 1), jnp.float32)
+    np.testing.assert_allclose(float(r1_penalty(d_img, ximg)),
+                               0.5 * float(jnp.sum(wimg ** 2)), rtol=1e-6)
+
+
+def test_r1_gamma_softens_discriminator():
+    """adversarial.r1_gamma > 0 must (a) report finite d_r1 that FALLS as
+    D flattens, and (b) end with a less extreme D than the unregularized
+    run (smaller real-side input gradients)."""
+    from apv_tpu.training.step import make_train_fns
+
+    batch = None
+    finals = {}
+    for gamma in (0.0, 10.0):
+        cfg = tiny_config("mnist_advprior",
+                          **{"adversarial.r1_gamma": gamma})
+        if batch is None:
+            rng = np.random.default_rng(0)
+            h, w, c = cfg.model.image_shape
+            batch = {"image": (rng.random((cfg.train.batch_size, h, w, c))
+                               < 0.3).astype(np.float32)}
+        fns = make_train_fns(cfg)
+        state = fns.init_fn(jax.random.PRNGKey(0))
+        step = jax.jit(fns.train_step)
+        hist = []
+        for _ in range(40):
+            state, m = step(state, batch)
+            hist.append({k: float(v) for k, v in m.items()})
+        finals[gamma] = (state, hist)
+
+    hist_r1 = finals[10.0][1]
+    assert "d_r1" in hist_r1[-1] and np.isfinite(hist_r1[-1]["d_r1"])
+    assert "d_r1" not in finals[0.0][1][-1]
+    # the penalty must actually shrink D's real-side gradients
+    assert hist_r1[-1]["d_r1"] < hist_r1[2]["d_r1"]
+
+    # measure ½E‖∇D‖² of both final discriminators on the same samples
+    from apv_tpu.models import LatentDiscriminator, d_apply_fn
+    from apv_tpu.training.losses import r1_penalty
+    cfg0 = tiny_config("mnist_advprior")
+    disc = LatentDiscriminator(tuple(cfg0.adversarial.d_widths))
+    z = jnp.asarray(np.random.default_rng(1).normal(
+        size=(64, cfg0.model.z_dim)), jnp.float32)
+    r1s = {g: float(r1_penalty(lambda zz: d_apply_fn(disc)(
+        finals[g][0].d_params, zz), z)) for g in (0.0, 10.0)}
+    assert r1s[10.0] < r1s[0.0], r1s
+
+
+def test_r1_gamma_biadversarial_trains():
+    """R1 under biadversarial regularizes BOTH discriminators (px_d_r1
+    reported finite alongside d_r1) and the step stays finite."""
+    from apv_tpu.training.step import make_train_fns
+
+    cfg = tiny_config("mnist_advprior", **{
+        "adversarial.variant": "biadversarial",
+        "adversarial.pixel_d_widths": "[8,16]",
+        "adversarial.r1_gamma": 1.0})
+    rng = np.random.default_rng(0)
+    h, w, c = cfg.model.image_shape
+    batch = {"image": (rng.random((cfg.train.batch_size, h, w, c))
+                       < 0.3).astype(np.float32)}
+    fns = make_train_fns(cfg)
+    state = fns.init_fn(jax.random.PRNGKey(0))
+    step = jax.jit(fns.train_step)
+    for _ in range(5):
+        state, m = step(state, batch)
+    for key in ("d_r1", "px_d_r1", "d_loss", "px_d_loss", "loss"):
+        assert key in m and np.isfinite(float(m[key])), key
