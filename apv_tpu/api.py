@@ -168,12 +168,19 @@ def sample(config: str | Config = "mnist_vae", *,
            overrides: list[str] | None = None,
            checkpoint_dir: str | None = None, n: int = 64,
            mode: str = "mean", seed: int = 0,
-           out_path: str | None = None, quality_n: int = 0):
+           out_path: str | None = None, quality_n: int = 0,
+           refine: int = 0):
     """Decode n prior samples; writes a PNG grid, returns the images.
 
     ``quality_n > 0`` additionally computes generated-vs-real sample-quality
     distances over that many samples (random-feature Fréchet distance +
     RBF-MMD²; eval/sample_quality.py) and writes sample_quality.json.
+
+    ``refine > 0`` runs that many MALA steps on the adversarially-shaped
+    prior after the SIR draw (sampling/run.py module docstring) — the
+    escape hatch for converged models whose sharp D collapses the SIR
+    pool's effective sample size. Prints the sampler diagnostics
+    (SIR ESS, MALA acceptance) alongside.
     """
     from apv_tpu.models import LatentDiscriminator, build_model, d_apply_fn
     from apv_tpu.sampling import generate_samples, save_image_grid
@@ -189,16 +196,20 @@ def sample(config: str | Config = "mnist_vae", *,
         d_apply = d_apply_fn(
             LatentDiscriminator(tuple(cfg.adversarial.d_widths)))
         d_params = _d(state, cfg)
-    images = generate_samples(model, _p(state, cfg), jax.random.PRNGKey(seed),
-                              n, cfg.model.z_dim, cfg.model.likelihood,
-                              cfg.model.image_shape[2], d_apply=d_apply,
-                              d_params=d_params, mode=mode)
+    images, diag = generate_samples(
+        model, _p(state, cfg), jax.random.PRNGKey(seed),
+        n, cfg.model.z_dim, cfg.model.likelihood,
+        cfg.model.image_shape[2], d_apply=d_apply,
+        d_params=d_params, mode=mode, refine_steps=refine,
+        return_diagnostics=True)
+    if diag:
+        print(json.dumps({"sampler_diagnostics": diag}))
     path = out_path or Path(cfg.results_dir) / cfg.name / "samples.png"
     save_image_grid(images, path)
     if quality_n > 0:
         from apv_tpu.eval.sample_quality import sample_quality
         metrics = sample_quality(cfg, _p(state, cfg), d_params, n=quality_n,
-                                 seed=seed)
+                                 seed=seed, refine_steps=refine)
         _write_json(cfg, "sample_quality.json", metrics)
         print(json.dumps(metrics, indent=2))
     return images
@@ -263,7 +274,7 @@ def export_artifact(config: str | Config = "mnist_vae", *,
                     overrides: list[str] | None = None,
                     checkpoint_dir: str | None = None,
                     what: str = "sampler", out_path: str | None = None,
-                    quantize: str | None = None):
+                    quantize: str | None = None, refine: int = 0):
     """AOT-export a serving artifact (StableHLO, params baked in)."""
     from apv_tpu import serving
 
@@ -274,8 +285,12 @@ def export_artifact(config: str | Config = "mnist_vae", *,
     if what == "sampler":
         d_params = _d(state, cfg)
         return serving.export_sampler(cfg, _p(state, cfg), d_params, out,
-                                      quantize=quantize)
+                                      quantize=quantize,
+                                      refine_steps=refine)
     if what == "scorer":
+        if refine:
+            raise ValueError("refine is sampler-only (MALA on the shaped "
+                             "prior); the scorer draws no prior samples")
         if quantize is not None:
             raise ValueError("quantize is sampler-only: a silently "
                              "full-precision scorer artifact would "

@@ -67,6 +67,11 @@ def main(argv: list[str] | None = None) -> int:
     p_sample.add_argument("--steps", type=int, default=8,
                           help="interpolation steps (with --visualize "
                                "interpolate)")
+    p_sample.add_argument("--refine", type=int, default=0, metavar="STEPS",
+                          help="MALA refinement steps on the adversarially-"
+                               "shaped prior after the SIR draw (0 = SIR "
+                               "only); use when a converged D collapses "
+                               "the SIR pool's effective sample size")
     p_sample.add_argument("--quality", type=int, default=0, metavar="N",
                           help="also compute generated-vs-real sample-"
                                "quality distances over N samples (random-"
@@ -90,6 +95,9 @@ def main(argv: list[str] | None = None) -> int:
     p_exp.add_argument("--what", choices=("sampler", "scorer"),
                        default="sampler")
     p_exp.add_argument("--out", default=None)
+    p_exp.add_argument("--refine", type=int, default=0, metavar="STEPS",
+                       help="bake STEPS MALA refinement steps on the "
+                            "shaped prior into the sampler artifact")
     p_exp.add_argument("--quantize", choices=("int8",), default=None,
                        help="weight-only post-training quantization of the "
                             "baked params (sampler only; ~4x smaller)")
@@ -152,7 +160,7 @@ def main(argv: list[str] | None = None) -> int:
             api.sample(args.preset, overrides=args.overrides,
                        checkpoint_dir=args.checkpoint_dir, n=args.n,
                        mode=args.mode, seed=args.seed, out_path=args.out,
-                       quality_n=args.quality)
+                       quality_n=args.quality, refine=args.refine)
             print("wrote sample grid")
     elif args.command == "ood":
         result = api.ood_score(args.preset, overrides=args.overrides,
@@ -163,7 +171,8 @@ def main(argv: list[str] | None = None) -> int:
         path = api.export_artifact(args.preset, overrides=args.overrides,
                                    checkpoint_dir=args.checkpoint_dir,
                                    what=args.what, out_path=args.out,
-                                   quantize=args.quantize)
+                                   quantize=args.quantize,
+                                   refine=args.refine)
         print(f"exported {args.what} to {path}")
     return 0
 

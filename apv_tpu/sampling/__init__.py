@@ -1,5 +1,6 @@
 """Sampling / visualization layer (SURVEY.md §1 L6)."""
 
 from apv_tpu.sampling.run import (generate_samples,  # noqa: F401
-                                  latent_interpolate, reconstruct_images,
-                                  save_image_grid)
+                                  langevin_refine, latent_interpolate,
+                                  reconstruct_images, sample_prior,
+                                  save_image_grid, sir_ess)

@@ -4,6 +4,17 @@ Prior sampling under the adversarial prior uses SIR (sampling-importance-
 resampling): draw a pool from N(0,I), weight by e^{D(z)} (the density-ratio
 correction), resample — giving approximate draws from p*(z) ∝ p0(z)·e^{D(z)}
 without MCMC, as one jitted pass.
+
+SIR is exact only as pool_factor → ∞: when the trained D's log-ratio is
+sharp (the converged flagship's D saturates — RESULTS.md 400k row), the
+importance weights concentrate on a few pool members, the effective sample
+size collapses, and the "n draws" are near-duplicates of those few. For
+that regime ``refine_steps > 0`` runs MALA (Metropolis-adjusted Langevin)
+chains on log p*(z) = −‖z‖²/2 + D(z) from the SIR draws — a `lax.scan` of
+fully batched gradient steps, so the whole refine stays one XLA program on
+the MXU/VPU. Step size self-tunes toward the MALA-optimal acceptance rate
+with a Robbins–Monro schedule (diminishing adaptation, so the chain's
+stationary distribution is preserved asymptotically).
 """
 
 from __future__ import annotations
@@ -18,16 +29,93 @@ import numpy as np
 from apv_tpu.training.losses import decoder_output_to_likelihood_params
 
 
+def shaped_prior_logp(z: jax.Array, d_apply, d_params) -> jax.Array:
+    """log p*(z) up to the (unknown) log-partition constant:
+    log N(z; 0, I) + D(z), per sample. The constant cancels in both the
+    MALA accept ratio and the SIR weights, so it is omitted."""
+    return -0.5 * jnp.sum(z * z, axis=-1) + d_apply(d_params, z)
+
+
+def sir_ess(logw: jax.Array) -> jax.Array:
+    """Kish effective sample size of a set of log importance weights:
+    (Σw)²/Σw² — equals len(logw) for uniform weights, 1 when one weight
+    dominates. The SIR degeneracy diagnostic."""
+    from jax.scipy.special import logsumexp
+    return jnp.exp(2.0 * logsumexp(logw) - logsumexp(2.0 * logw))
+
+
+def langevin_refine(key: jax.Array, z0: jax.Array, logp_fn, steps: int, *,
+                    init_step: float = 0.1,
+                    target_accept: float = 0.574):
+    """Batched MALA on an unnormalized log-density.
+
+    All n chains advance in lockstep inside one `lax.scan` — each step is
+    two batched logp+grad evaluations plus elementwise work, so the
+    refine compiles to a single XLA while-free program. The step size
+    adapts toward ``target_accept`` (0.574 is MALA's optimal acceptance)
+    with a 1/t Robbins–Monro gain.
+
+    Returns (z, mean_accept_rate, final_step_size).
+    """
+    def logp_and_grad(z):
+        lp, vjp = jax.vjp(logp_fn, z)
+        (g,) = vjp(jnp.ones_like(lp))
+        return lp, g
+
+    def body(carry, i):
+        z, lp, g, log_eps, key = carry
+        key, k_prop, k_acc = jax.random.split(key, 3)
+        eps = jnp.exp(log_eps)
+        noise = jax.random.normal(k_prop, z.shape, z.dtype)
+        z_prop = z + eps * g + jnp.sqrt(2.0 * eps) * noise
+        lp_p, g_p = logp_and_grad(z_prop)
+        # Proposal densities q(z'|z), q(z|z') for the Metropolis correction
+        fwd = -jnp.sum((z_prop - z - eps * g) ** 2, -1) / (4.0 * eps)
+        rev = -jnp.sum((z - z_prop - eps * g_p) ** 2, -1) / (4.0 * eps)
+        log_alpha = lp_p - lp + rev - fwd
+        u = jnp.log(jax.random.uniform(k_acc, (z.shape[0],), z.dtype))
+        accept = u < log_alpha
+        z = jnp.where(accept[:, None], z_prop, z)
+        lp = jnp.where(accept, lp_p, lp)
+        g = jnp.where(accept[:, None], g_p, g)
+        rate = jnp.mean(accept.astype(jnp.float32))
+        log_eps = log_eps + (rate - target_accept) / (i + 10.0)
+        return (z, lp, g, log_eps, key), rate
+
+    lp0, g0 = logp_and_grad(z0)
+    carry = (z0, lp0, g0, jnp.log(jnp.asarray(init_step, z0.dtype)), key)
+    (z, _, _, log_eps, _), rates = jax.lax.scan(
+        body, carry, jnp.arange(1.0, steps + 1.0, dtype=jnp.float32))
+    return z, rates.mean(), jnp.exp(log_eps)
+
+
 def sample_prior(key: jax.Array, n: int, z_dim: int, *, d_apply=None,
-                 d_params=None, pool_factor: int = 16) -> jax.Array:
-    """n draws from the prior; with d_apply, SIR from the shaped prior."""
+                 d_params=None, pool_factor: int = 16,
+                 refine_steps: int = 0, init_step: float = 0.1,
+                 return_diagnostics: bool = False):
+    """n draws from the prior; with d_apply, SIR from the shaped prior,
+    optionally MALA-refined (``refine_steps`` — see module docstring).
+
+    With ``return_diagnostics`` also returns a dict of scalar health
+    metrics: the SIR pool's effective sample size and, when refining, the
+    MALA acceptance rate and adapted step size.
+    """
     if d_apply is None:
-        return jax.random.normal(key, (n, z_dim), jnp.float32)
-    k_pool, k_sel = jax.random.split(key)
+        z = jax.random.normal(key, (n, z_dim), jnp.float32)
+        return (z, {}) if return_diagnostics else z
+    k_pool, k_sel, k_mala = jax.random.split(key, 3)
     pool = jax.random.normal(k_pool, (n * pool_factor, z_dim), jnp.float32)
     logw = d_apply(d_params, pool)
     idx = jax.random.categorical(k_sel, logw, shape=(n,))
-    return pool[idx]
+    z = pool[idx]
+    diag = {"sir_ess": sir_ess(logw), "sir_pool": n * pool_factor}
+    if refine_steps > 0:
+        z, rate, eps = langevin_refine(
+            k_mala, z, lambda zz: shaped_prior_logp(zz, d_apply, d_params),
+            refine_steps, init_step=init_step)
+        diag.update(mala_accept_rate=rate, mala_step_size=eps,
+                    mala_steps=refine_steps)
+    return (z, diag) if return_diagnostics else z
 
 
 def decoder_pixels(out: jax.Array, key: jax.Array, likelihood: str,
@@ -60,7 +148,8 @@ def decoder_pixels(out: jax.Array, key: jax.Array, likelihood: str,
 
 @functools.lru_cache(maxsize=32)
 def _sample_fn(model, n: int, z_dim: int, likelihood: str,
-               image_channels: int, mode: str, d_apply):
+               image_channels: int, mode: str, d_apply,
+               refine_steps: int):
     """Cached jitted decode pass: without the cache every generate_samples
     call builds a fresh closure, so jit re-traces (and reloads from the
     persistent compile cache) per call — ~475 ms of pure overhead on the
@@ -69,21 +158,30 @@ def _sample_fn(model, n: int, z_dim: int, likelihood: str,
     @jax.jit
     def _run(params, d_params, key):
         k_z, k_x = jax.random.split(key)
-        z = sample_prior(k_z, n, z_dim, d_apply=d_apply, d_params=d_params)
+        z, diag = sample_prior(k_z, n, z_dim, d_apply=d_apply,
+                               d_params=d_params, refine_steps=refine_steps,
+                               return_diagnostics=True)
         out = model.apply({"params": params}, z, method="decode")
-        return decoder_pixels(out, k_x, likelihood, image_channels, mode)
+        return decoder_pixels(out, k_x, likelihood, image_channels,
+                              mode), diag
 
     return _run
 
 
 def generate_samples(model, params, key: jax.Array, n: int, z_dim: int,
                      likelihood: str, image_channels: int, *,
-                     d_apply=None, d_params=None,
-                     mode: str = "mean") -> jax.Array:
-    """Decode n prior samples → images in [0,1], one jitted batched pass."""
+                     d_apply=None, d_params=None, mode: str = "mean",
+                     refine_steps: int = 0,
+                     return_diagnostics: bool = False):
+    """Decode n prior samples → images in [0,1], one jitted batched pass
+    (SIR + optional MALA refine + decode compile together)."""
     fn = _sample_fn(model, n, z_dim, likelihood, image_channels, mode,
-                    d_apply)
-    return fn(params, d_params, key)
+                    d_apply, refine_steps)
+    images, diag = fn(params, d_params, key)
+    if return_diagnostics:
+        return images, {k: (float(v) if hasattr(v, "shape") else v)
+                        for k, v in diag.items()}
+    return images
 
 
 def reconstruct_images(model, params, x_in: jax.Array, key: jax.Array,

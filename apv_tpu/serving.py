@@ -27,7 +27,7 @@ from apv_tpu.training.losses import (decoder_output_to_likelihood_params,
 from apv_tpu.utils.config import Config
 
 
-def _sampler_fn(cfg: Config, params, d_params):
+def _sampler_fn(cfg: Config, params, d_params, refine_steps: int = 0):
     model = build_model(cfg.model)
     use_adv = cfg.adversarial.enabled and d_params is not None
     disc = (LatentDiscriminator(tuple(cfg.adversarial.d_widths))
@@ -44,7 +44,8 @@ def _sampler_fn(cfg: Config, params, d_params):
             z = sample_prior(k_z, cfg.eval.batch_size, cfg.model.z_dim,
                              d_apply=lambda dp, zz: disc.apply(
                                  {"params": dp}, zz),
-                             d_params=d_params)
+                             d_params=d_params,
+                             refine_steps=refine_steps)
         else:
             z = sample_prior(k_z, cfg.eval.batch_size, cfg.model.z_dim)
         out = model.apply({"params": params}, z, method="decode")
@@ -138,12 +139,17 @@ def dequantize_params(tree, dtype=jnp.float32):
 
 
 def export_sampler(cfg: Config, params, d_params, out_path: str | Path,
-                   quantize: str | None = None) -> Path:
+                   quantize: str | None = None,
+                   refine_steps: int = 0) -> Path:
     """Serialize the batched generation path (params baked in).
 
     ``quantize='int8'`` applies weight-only post-training quantization to
     the baked parameters (≈4× smaller artifact; decode quality tested to
     match within tolerance — tests/test_serving.py).
+
+    ``refine_steps > 0`` bakes that many MALA steps on the shaped prior
+    into the artifact (sampling/run.py) — the `lax.scan` exports as part
+    of the same StableHLO program.
     """
     if quantize == "int8":
         q = quantize_params_int8(params)
@@ -151,10 +157,10 @@ def export_sampler(cfg: Config, params, d_params, out_path: str | Path,
 
         def fn(seed):
             return _sampler_fn(cfg, dequantize_params(q),
-                               None if qd is None else dequantize_params(qd)
-                               )(seed)
+                               None if qd is None else dequantize_params(qd),
+                               refine_steps)(seed)
     elif quantize is None:
-        fn = _sampler_fn(cfg, params, d_params)
+        fn = _sampler_fn(cfg, params, d_params, refine_steps)
     else:
         raise ValueError(f"unknown quantize mode {quantize!r} (int8)")
     with ops_dispatch.backend("jnp"):

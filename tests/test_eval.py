@@ -105,7 +105,8 @@ def test_generate_samples_jit_cached():
     cfg = tiny_config("mnist_vae")
     state = _init_state(cfg)
     model = build_model(cfg.model)
-    args = (model, 4, cfg.model.z_dim, cfg.model.likelihood, 1, "mean", None)
+    args = (model, 4, cfg.model.z_dim, cfg.model.likelihood, 1, "mean", None,
+            0)
     assert _sample_fn(*args) is _sample_fn(*args)
     a = generate_samples(model, state.params, jax.random.PRNGKey(0), 4,
                          cfg.model.z_dim, cfg.model.likelihood, 1)

@@ -1,0 +1,120 @@
+"""MALA-refined shaped-prior sampling (sampling/run.py).
+
+The adversarially-shaped prior p*(z) ∝ N(z;0,I)·e^{D(z)} is sampled by SIR;
+when D is sharp the finite pool degenerates (ESS collapse), and
+``refine_steps`` runs batched MALA chains from the SIR draws. These tests
+pin the sampler against analytically-known shaped priors: a quadratic
+D(z) = −½(a−1)‖z‖² makes p*(z) exactly N(0, I/a).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conftest import tiny_config
+
+
+def _quadratic_d(a: float):
+    """D whose shaped prior is exactly N(0, I/a)."""
+
+    def d_apply(dp, z):
+        return -0.5 * (a - 1.0) * jnp.sum(z * z, axis=-1)
+
+    return d_apply
+
+
+def test_sir_ess_bounds():
+    from apv_tpu.sampling.run import sir_ess
+
+    n = 512
+    uniform = jnp.zeros((n,))
+    np.testing.assert_allclose(float(sir_ess(uniform)), n, rtol=1e-5)
+    one_hot = jnp.where(jnp.arange(n) == 3, 0.0, -1e4)
+    np.testing.assert_allclose(float(sir_ess(one_hot)), 1.0, rtol=1e-5)
+
+
+def test_refine_zero_is_plain_sir():
+    """refine_steps=0 must leave the SIR draw untouched (bit-identical),
+    so existing SIR consumers (serving export, OOD) are unaffected."""
+    from apv_tpu.sampling.run import sample_prior
+
+    d_apply = _quadratic_d(2.0)
+    key = jax.random.PRNGKey(0)
+    a = sample_prior(key, 64, 4, d_apply=d_apply, d_params=None)
+    b, diag = sample_prior(key, 64, 4, d_apply=d_apply, d_params=None,
+                           refine_steps=0, return_diagnostics=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert "sir_ess" in diag and "mala_accept_rate" not in diag
+
+
+def test_mala_targets_shaped_prior_moments():
+    """A sharp SHIFTED quadratic D — D(z) = −½(a−1)‖z−m‖², shaped prior
+    exactly N(((a−1)/a)·m, I/a) — is the SIR-degenerate regime this
+    refinement exists for: the N(0,I) proposal almost never lands near
+    the target mode, the pool's ESS collapses toward 1, and the SIR
+    draws are biased toward the origin. MALA must recover the true
+    moments and beat SIR's mean error."""
+    from apv_tpu.sampling.run import sample_prior
+
+    a, m = 4.0, 2.5
+
+    def d_apply(dp, z):
+        return -0.5 * (a - 1.0) * jnp.sum((z - m) ** 2, axis=-1)
+
+    mean_target = (a - 1.0) / a * m          # 1.875
+    var_target = 1.0 / a                     # 0.25
+    key = jax.random.PRNGKey(42)
+    kwargs = dict(d_apply=d_apply, d_params=None, pool_factor=4)
+    z_sir = sample_prior(key, 1024, 8, **kwargs)
+    z_ref, diag = sample_prior(key, 1024, 8, refine_steps=300,
+                               return_diagnostics=True, **kwargs)
+    err_sir = abs(float(jnp.mean(z_sir)) - mean_target)
+    err_ref = abs(float(jnp.mean(z_ref)) - mean_target)
+    assert float(diag["sir_ess"]) < 10.0, diag      # the degenerate regime
+    assert err_ref < 0.1, (float(jnp.mean(z_ref)), mean_target)
+    assert err_ref < err_sir, (err_ref, err_sir)
+    var_ref = float(jnp.var(z_ref))
+    assert abs(var_ref - var_target) < 0.15 * var_target, var_ref
+    # the adaptive step must settle in a healthy Metropolis regime
+    assert 0.3 < float(diag["mala_accept_rate"]) < 0.95, diag
+
+
+def test_langevin_refine_pure_gaussian():
+    """MALA on the plain N(0,I) log-density from a deliberately wrong
+    initialization must recover unit variance — isolates the kernel from
+    the SIR stage."""
+    from apv_tpu.sampling.run import langevin_refine
+
+    def logp(z):
+        return -0.5 * jnp.sum(z * z, axis=-1)
+
+    z0 = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (512, 16))
+    z, rate, eps = langevin_refine(jax.random.PRNGKey(1), z0, logp, 400)
+    assert abs(float(jnp.var(z)) - 1.0) < 0.1
+    assert 0.3 < float(rate) < 0.95
+    assert float(eps) > 0.0
+
+
+def test_generate_samples_refined_end_to_end():
+    """The jitted decode pass accepts refine_steps, returns diagnostics,
+    and produces images in [0,1] of the right shape."""
+    from apv_tpu.models import (LatentDiscriminator, build_model,
+                                d_apply_fn)
+    from apv_tpu.sampling.run import generate_samples
+    from apv_tpu.training.step import make_train_fns
+
+    cfg = tiny_config("mnist_advprior")
+    fns = make_train_fns(cfg)
+    state = fns.init_fn(jax.random.PRNGKey(0))
+    model = build_model(cfg.model)
+    d_apply = d_apply_fn(
+        LatentDiscriminator(tuple(cfg.adversarial.d_widths)))
+    imgs, diag = generate_samples(
+        model, state.params, jax.random.PRNGKey(0), 8, cfg.model.z_dim,
+        cfg.model.likelihood, 1, d_apply=d_apply, d_params=state.d_params,
+        mode="mean", refine_steps=5, return_diagnostics=True)
+    assert imgs.shape == (8,) + tuple(cfg.model.image_shape)
+    assert float(jnp.min(imgs)) >= 0.0 and float(jnp.max(imgs)) <= 1.0
+    assert diag["mala_steps"] == 5
+    assert 0.0 <= diag["mala_accept_rate"] <= 1.0
+    assert diag["sir_ess"] >= 1.0

@@ -38,6 +38,26 @@ def test_sampler_export_adversarial_sir(tmp_path):
     assert imgs.shape == (4, 28, 28, 1)
 
 
+def test_sampler_export_refined(tmp_path):
+    """refine_steps bakes the MALA scan into the artifact: it loads, runs,
+    stays deterministic in seed, and differs from the SIR-only artifact
+    (the refinement actually moved the latents)."""
+    cfg = tiny_config("mnist_advprior", **{"eval.batch_size": 4})
+    state = _state(cfg)
+    p_sir = serving.export_sampler(cfg, state.params, state.d_params,
+                                   tmp_path / "sir.stablehlo")
+    p_ref = serving.export_sampler(cfg, state.params, state.d_params,
+                                   tmp_path / "ref.stablehlo",
+                                   refine_steps=4)
+    a = np.asarray(serving.load_exported(p_sir).call(jnp.int32(3)))
+    b = np.asarray(serving.load_exported(p_ref).call(jnp.int32(3)))
+    assert b.shape == (4, 28, 28, 1)
+    assert np.all((b >= 0) & (b <= 1))
+    assert not np.array_equal(a, b)
+    np.testing.assert_array_equal(
+        np.asarray(serving.load_exported(p_ref).call(jnp.int32(3))), b)
+
+
 def test_sampler_int8_quantized_export(tmp_path):
     """int8 weight-only quantization: artifact shrinks ~4x on the baked
     weights and the decoded images stay close to the f32 artifact's."""
