@@ -219,13 +219,17 @@ def visualize(config: str | Config = "mnist_vae", *,
               overrides: list[str] | None = None,
               checkpoint_dir: str | None = None, what: str = "reconstruct",
               n: int = 8, steps: int = 8, seed: int = 0, mode: str = "mean",
-              out_path: str | None = None):
+              out_path: str | None = None, refine: int = 0):
     """Reconstruction / latent-interpolation grids (L6 visualization).
 
     ``what='reconstruct'``: first n test images over their q(z|x)-sample
     reconstructions (top row originals, bottom row reconstructions).
     ``what='interpolate'``: n pairs of test images, slerp in latent space,
     one row per pair with ``steps`` columns.
+    ``what='latent'``: scatter of the aggregate posterior vs the N(0,I)
+    prior vs the adversarially-shaped prior on the posterior's top-2 PCs
+    (min 256 points; ``refine`` applies MALA steps to the shaped-prior
+    draws) — the direct picture of what the adversarial prior learned.
     """
     import numpy as np
 
@@ -238,9 +242,32 @@ def visualize(config: str | Config = "mnist_vae", *,
                                  checkpoint_dir)
     state = _restore_state(cfg, checkpoint_dir)
     model = build_model(cfg.model)
-    need = n if what == "reconstruct" else 2 * n
+    if what == "latent":
+        need = max(n, 256)          # a scatter needs a cloud, not a grid
+    elif what == "reconstruct":
+        need = n
+    else:
+        need = 2 * n
     arrays = eval_arrays(cfg, None, max_examples=need)
     x_in, x_levels = _prep_eval_batch(cfg, arrays["image"][:need])
+
+    if what == "latent":
+        from apv_tpu.models import LatentDiscriminator, d_apply_fn
+        from apv_tpu.sampling.latent_viz import (latent_scatter_data,
+                                                 save_latent_scatter)
+        d_apply = d_params = None
+        if cfg.adversarial.enabled:
+            d_apply = d_apply_fn(
+                LatentDiscriminator(tuple(cfg.adversarial.d_widths)))
+            d_params = _d(state, cfg)
+        data = latent_scatter_data(model, _p(state, cfg), x_in,
+                                   jax.random.PRNGKey(seed),
+                                   cfg.model.z_dim, d_apply=d_apply,
+                                   d_params=d_params, refine_steps=refine)
+        path = out_path or (Path(cfg.results_dir) / cfg.name
+                            / "latent_scatter.png")
+        save_latent_scatter(data, path, title=cfg.name)
+        return data
 
     if what == "reconstruct":
         recon = reconstruct_images(model, _p(state, cfg), x_in,

@@ -59,11 +59,13 @@ def main(argv: list[str] | None = None) -> int:
     p_sample.add_argument("--seed", type=int, default=0)
     p_sample.add_argument("--out", default=None)
     p_sample.add_argument("--visualize", choices=("reconstruct",
-                                                  "interpolate"),
+                                                  "interpolate", "latent"),
                           default=None,
                           help="instead of prior samples, write a test-set "
-                               "reconstruction grid or a latent slerp grid "
-                               "(-n rows, --steps columns)")
+                               "reconstruction grid, a latent slerp grid "
+                               "(-n rows, --steps columns), or a latent-"
+                               "space scatter of aggregate posterior vs "
+                               "prior vs shaped prior")
     p_sample.add_argument("--steps", type=int, default=8,
                           help="interpolation steps (with --visualize "
                                "interpolate)")
@@ -154,7 +156,8 @@ def main(argv: list[str] | None = None) -> int:
             api.visualize(args.preset, overrides=args.overrides,
                           checkpoint_dir=args.checkpoint_dir,
                           what=args.visualize, n=args.n, steps=args.steps,
-                          seed=args.seed, mode=args.mode, out_path=args.out)
+                          seed=args.seed, mode=args.mode, out_path=args.out,
+                          refine=args.refine)
             print(f"wrote {args.visualize} grid")
         else:
             api.sample(args.preset, overrides=args.overrides,

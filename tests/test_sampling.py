@@ -95,6 +95,48 @@ def test_langevin_refine_pure_gaussian():
     assert float(eps) > 0.0
 
 
+def test_latent_scatter_data_adversarial():
+    """The scatter data carries all three clouds as [N,2] PC projections,
+    the posterior cloud is exactly centered (it defines the PCs), and the
+    explained-variance fraction is a valid ratio."""
+    from apv_tpu.models import (LatentDiscriminator, build_model,
+                                d_apply_fn)
+    from apv_tpu.sampling.latent_viz import latent_scatter_data
+    from apv_tpu.training.step import make_train_fns
+
+    cfg = tiny_config("mnist_advprior")
+    fns = make_train_fns(cfg)
+    state = fns.init_fn(jax.random.PRNGKey(0))
+    model = build_model(cfg.model)
+    d_apply = d_apply_fn(
+        LatentDiscriminator(tuple(cfg.adversarial.d_widths)))
+    x = jnp.zeros((32,) + tuple(cfg.model.image_shape), jnp.float32)
+    data = latent_scatter_data(model, state.params, x,
+                               jax.random.PRNGKey(1), cfg.model.z_dim,
+                               d_apply=d_apply, d_params=state.d_params,
+                               refine_steps=3)
+    for key in ("posterior", "prior", "shaped_prior"):
+        assert data[key].shape == (32, 2), (key, data[key].shape)
+    np.testing.assert_allclose(data["posterior"].mean(0), 0.0, atol=1e-6)
+    assert 0.0 <= data["explained"] <= 1.0
+
+    plain = latent_scatter_data(model, state.params, x,
+                                jax.random.PRNGKey(1), cfg.model.z_dim)
+    assert "shaped_prior" not in plain
+
+
+def test_visualize_latent_writes_png(tmp_path):
+    import apv_tpu
+
+    cfg = tiny_config("mnist_advprior", tmp_dir=str(tmp_path), **{
+        "train.steps": 1, "train.eval_every": 0, "train.batch_size": 8,
+        "train.checkpoint_every": 1, "data.synthetic_size": 64})
+    apv_tpu.train(cfg)
+    data = apv_tpu.visualize(cfg, what="latent", n=16, refine=2)
+    assert (tmp_path / cfg.name / "latent_scatter.png").exists()
+    assert data["posterior"].shape[1] == 2
+
+
 def test_generate_samples_refined_end_to_end():
     """The jitted decode pass accepts refine_steps, returns diagnostics,
     and produces images in [0,1] of the right shape."""
