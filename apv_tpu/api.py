@@ -182,7 +182,7 @@ def sample(config: str | Config = "mnist_vae", *,
     pool's effective sample size. Prints the sampler diagnostics
     (SIR ESS, MALA acceptance) alongside.
     """
-    from apv_tpu.models import LatentDiscriminator, build_model, d_apply_fn
+    from apv_tpu.models import build_model, d_apply_fn, make_latent_d
     from apv_tpu.sampling import generate_samples, save_image_grid
 
     cfg = _adopt_checkpoint_arch(_resolve(config, overrides), overrides,
@@ -193,8 +193,7 @@ def sample(config: str | Config = "mnist_vae", *,
     if cfg.adversarial.enabled:
         # d_apply_fn gives a stable function identity so the cached jitted
         # sampling pass is reused across calls (sampling/run._sample_fn)
-        d_apply = d_apply_fn(
-            LatentDiscriminator(tuple(cfg.adversarial.d_widths)))
+        d_apply = d_apply_fn(make_latent_d(cfg.adversarial))
         d_params = _d(state, cfg)
     images, diag = generate_samples(
         model, _p(state, cfg), jax.random.PRNGKey(seed),
@@ -252,13 +251,12 @@ def visualize(config: str | Config = "mnist_vae", *,
     x_in, x_levels = _prep_eval_batch(cfg, arrays["image"][:need])
 
     if what == "latent":
-        from apv_tpu.models import LatentDiscriminator, d_apply_fn
+        from apv_tpu.models import d_apply_fn, make_latent_d
         from apv_tpu.sampling.latent_viz import (latent_scatter_data,
                                                  save_latent_scatter)
         d_apply = d_params = None
         if cfg.adversarial.enabled:
-            d_apply = d_apply_fn(
-                LatentDiscriminator(tuple(cfg.adversarial.d_widths)))
+            d_apply = d_apply_fn(make_latent_d(cfg.adversarial))
             d_params = _d(state, cfg)
         data = latent_scatter_data(model, _p(state, cfg), x_in,
                                    jax.random.PRNGKey(seed),

@@ -18,7 +18,7 @@ from apv_tpu.data import (Batcher, load_dataset, prefetch_to_device,
                           static_binarize)
 from apv_tpu.data.preprocess import normalize_center, to_unit_interval
 from apv_tpu.eval.iwae_eval import estimate_log_partition, make_iwae_fn
-from apv_tpu.models import LatentDiscriminator, build_model
+from apv_tpu.models import build_model, make_latent_d
 from apv_tpu.parallel import data_sharding, make_mesh, replicated
 from apv_tpu.utils.config import Config
 
@@ -275,7 +275,7 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
     log_z = jnp.float32(0.0)
     log_z_se = 0.0
     if use_adv:
-        disc = LatentDiscriminator(tuple(cfg.adversarial.d_widths))
+        disc = make_latent_d(cfg.adversarial)
 
         def d_apply(dp, z):
             return disc.apply({"params": dp}, z)

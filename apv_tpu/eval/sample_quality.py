@@ -122,7 +122,7 @@ def sample_quality(cfg, params, d_params=None, *, n: int = 2048,
         # sample_quality.json (non-standard JSON; strict parsers reject).
         raise ValueError(f"sample_quality needs n >= 2, got n={n}")
     from apv_tpu.eval.run import eval_arrays
-    from apv_tpu.models import LatentDiscriminator, build_model, d_apply_fn
+    from apv_tpu.models import build_model, d_apply_fn, make_latent_d
     from apv_tpu.parallel import make_mesh, replicated
     from apv_tpu.sampling import generate_samples
 
@@ -130,8 +130,7 @@ def sample_quality(cfg, params, d_params=None, *, n: int = 2048,
     model = build_model(cfg.model)
     d_apply = None
     if cfg.adversarial.enabled and d_params is not None:
-        d_apply = d_apply_fn(
-            LatentDiscriminator(tuple(cfg.adversarial.d_widths)))
+        d_apply = d_apply_fn(make_latent_d(cfg.adversarial))
 
     real = eval_arrays(cfg, None, max_examples=n)["image"]
     # Binarized configs store uint8 {0,1} (static_binarize's compact

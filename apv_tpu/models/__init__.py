@@ -12,5 +12,6 @@ float32 distribution-parameter heads (likelihoods are accuracy-critical).
 from apv_tpu.models.conv_vae import ConvVAE  # noqa: F401
 from apv_tpu.models.resnet_vae import ResNetVAE  # noqa: F401
 from apv_tpu.models.discriminator import (  # noqa: F401
-    LatentDiscriminator, PixelDiscriminator, d_apply_fn, latent_d_params)
+    LatentDiscriminator, PixelDiscriminator, SNDense, d_apply_fn,
+    latent_d_params, make_latent_d)
 from apv_tpu.models.registry import build_model  # noqa: F401

@@ -13,6 +13,7 @@ import functools
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -31,17 +32,63 @@ def d_apply_fn(disc):
     return f
 
 
+class SNDense(nn.Module):
+    """Dense with stateless spectral normalization (SN-GAN lineage,
+    arXiv 1802.05957, adapted): applies W/σ(W), with σ estimated by
+    ``n_iter`` power iterations from a FIXED deterministic start vector.
+
+    The canonical SN carries the power-iteration vector u as mutable
+    state across steps; a mutable flax collection would leak into every
+    d_params consumer (train step, serving export, SIR sampling, OOD
+    scoring) and into the checkpoint format. The latent D is a tiny MLP,
+    so re-running a short power iteration per forward costs a few
+    [z,w]-sized matvecs — noise next to the conv stacks — and keeps D a
+    pure function of its params. Gradient flows through W in
+    σ = uᵀWv with u, v stop-gradiented, as in the paper."""
+    features: int
+    n_iter: int = 5
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        d_in = kernel.shape[0]
+        v = jnp.full((d_in,), 1.0 / jnp.sqrt(d_in), kernel.dtype)
+        u = kernel.T @ v
+        for _ in range(self.n_iter):
+            u = u / (jnp.linalg.norm(u) + 1e-12)
+            v = kernel @ u
+            v = v / (jnp.linalg.norm(v) + 1e-12)
+            u = kernel.T @ v
+        u = jax.lax.stop_gradient(u / (jnp.linalg.norm(u) + 1e-12))
+        v = jax.lax.stop_gradient(v)
+        sigma = v @ kernel @ u
+        return x @ (kernel / sigma) + bias
+
+
 class LatentDiscriminator(nn.Module):
     widths: Sequence[int] = (256, 256)
     negative_slope: float = 0.2
+    spectral_norm: bool = False
 
     @nn.compact
     def __call__(self, z):
+        dense = SNDense if self.spectral_norm else nn.Dense
         h = z.astype(jnp.float32)
         for w in self.widths:
-            h = nn.Dense(w)(h)
+            h = dense(w)(h)
             h = nn.leaky_relu(h, self.negative_slope)
-        return nn.Dense(1)(h)[..., 0]       # [B] logits
+        return dense(1)(h)[..., 0]          # [B] logits
+
+
+def make_latent_d(adv_cfg) -> LatentDiscriminator:
+    """The latent D for an AdversarialConfig — single construction point
+    so architecture knobs (widths, spectral norm) reach every consumer
+    (train step, eval scoring, SIR sampling, serving export) in lockstep."""
+    return LatentDiscriminator(tuple(adv_cfg.d_widths),
+                               spectral_norm=adv_cfg.d_spectral_norm)
 
 
 class PixelDiscriminator(nn.Module):

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax import export as jax_export
 
 from apv_tpu.data.preprocess import normalize_center
-from apv_tpu.models import LatentDiscriminator, build_model
+from apv_tpu.models import build_model, make_latent_d
 from apv_tpu.ops import dispatch as ops_dispatch
 from apv_tpu.sampling.run import sample_prior
 from apv_tpu.training.losses import (decoder_output_to_likelihood_params,
@@ -30,8 +30,7 @@ from apv_tpu.utils.config import Config
 def _sampler_fn(cfg: Config, params, d_params, refine_steps: int = 0):
     model = build_model(cfg.model)
     use_adv = cfg.adversarial.enabled and d_params is not None
-    disc = (LatentDiscriminator(tuple(cfg.adversarial.d_widths))
-            if use_adv else None)
+    disc = make_latent_d(cfg.adversarial) if use_adv else None
 
     def fn(seed: jax.Array) -> jax.Array:
         """seed int32[] -> images [n, H, W, C] in [0,1]."""
@@ -60,8 +59,7 @@ def _sampler_fn(cfg: Config, params, d_params, refine_steps: int = 0):
 def _scorer_fn(cfg: Config, params, d_params=None, log_z: float = 0.0):
     model = build_model(cfg.model)
     use_adv = cfg.adversarial.enabled and d_params is not None
-    disc = (LatentDiscriminator(tuple(cfg.adversarial.d_widths))
-            if use_adv else None)
+    disc = make_latent_d(cfg.adversarial) if use_adv else None
 
     def encode(p, x):
         return model.apply({"params": p}, x, method="encode")
@@ -192,7 +190,7 @@ def export_scorer(cfg: Config, params, out_path: str | Path, *,
     log_z = 0.0
     if cfg.adversarial.enabled and d_params is not None:
         from apv_tpu.eval.iwae_eval import estimate_log_partition
-        disc = LatentDiscriminator(tuple(cfg.adversarial.d_widths))
+        disc = make_latent_d(cfg.adversarial)
         log_z = float(estimate_log_partition(
             lambda dp, z: disc.apply({"params": dp}, z), d_params,
             cfg.model.z_dim, jax.random.PRNGKey(0)))

@@ -25,7 +25,7 @@ import optax
 from apv_tpu import ops
 from apv_tpu.data.preprocess import (normalize_center, uniform_dequantize,
                                      unpack_bits)
-from apv_tpu.models import (LatentDiscriminator, PixelDiscriminator,
+from apv_tpu.models import (PixelDiscriminator, make_latent_d,
                             build_model)
 from apv_tpu.training import losses as L
 from apv_tpu.training.state import TrainState
@@ -116,7 +116,7 @@ def make_train_fns(cfg: Config) -> TrainFns:
     # checkpoint tree stays config-determined (models.latent_d_params is
     # the eval-side accessor).
     biadv = adv and cfg.adversarial.variant == "biadversarial"
-    disc = LatentDiscriminator(tuple(cfg.adversarial.d_widths)) if adv else None
+    disc = make_latent_d(cfg.adversarial) if adv else None
     pxd = (PixelDiscriminator(tuple(cfg.adversarial.pixel_d_widths))
            if biadv else None)
     tx = _make_optimizer(cfg)

@@ -79,6 +79,11 @@ class AdversarialConfig:
     d_lr: float = 1e-4
     d_widths: tuple[int, ...] = (256, 256)
     label_smoothing: float = 0.0
+    # Spectral normalization of the latent D's Dense kernels (SN-GAN,
+    # arXiv 1802.05957; stateless power-iteration variant — see
+    # models/discriminator.py::SNDense). The third D-regularization
+    # option next to label_smoothing and r1_gamma.
+    d_spectral_norm: bool = False
 
 
 @dataclass(frozen=True)

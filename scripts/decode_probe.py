@@ -21,7 +21,7 @@ def main() -> None:
     enable_default_cache()
     import numpy as np
 
-    from apv_tpu.models import LatentDiscriminator, build_model, d_apply_fn
+    from apv_tpu.models import build_model, d_apply_fn, make_latent_d
     from apv_tpu.sampling.run import generate_samples
     from apv_tpu.training.step import make_train_fns
     from apv_tpu.utils.config import get_preset
@@ -30,7 +30,7 @@ def main() -> None:
     cfg = get_preset("cifar_advprior_resnet")
     fns = make_train_fns(cfg)
     state = jax.jit(fns.init_fn)(jax.random.PRNGKey(0))
-    d_apply = d_apply_fn(LatentDiscriminator(tuple(cfg.adversarial.d_widths)))
+    d_apply = d_apply_fn(make_latent_d(cfg.adversarial))
 
     def call(key):
         return generate_samples(fns.model, state.params, key, n,
