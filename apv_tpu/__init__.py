@@ -25,7 +25,7 @@ Layer map (SURVEY.md §1):
 __version__ = "0.1.0"
 
 _API_NAMES = ("train", "evaluate", "sample", "visualize", "ood_score",
-              "export_artifact")
+              "export_artifact", "info")
 
 
 def __getattr__(name):

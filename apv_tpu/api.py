@@ -326,6 +326,85 @@ def export_artifact(config: str | Config = "mnist_vae", *,
     raise ValueError(f"unknown artifact {what!r} (sampler|scorer)")
 
 
+def _ckpt_steps_on_disk(ckpt_dir: Path) -> list[int]:
+    """Checkpoint steps by directory listing (orbax layout: one numeric
+    dir per step). Deliberately NOT via orbax: a CheckpointManager
+    initializes the jax backend, and ``apv info`` must stay safe to run
+    next to a live TPU job (one process at a time on this relay)."""
+    if not ckpt_dir.exists():
+        return []
+    return sorted(int(p.name) for p in ckpt_dir.iterdir()
+                  if p.is_dir() and p.name.isdigit())
+
+
+def info(name: str | None = None, *,
+         results_dir: str = "results") -> dict:
+    """Introspect the results directory without touching any device.
+
+    Without ``name``: one summary row per run (config highlights, latest
+    checkpoint step). With ``name``: the run's config highlights,
+    checkpoint steps on disk, best-validation record, saved result files
+    (eval/ood/sample_quality), and the last training-metrics record.
+    """
+    root = Path(results_dir)
+
+    def _read(p: Path):
+        try:
+            d = json.loads(p.read_text())
+            return json.loads(d) if isinstance(d, str) else d
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def _summary(run: Path) -> dict:
+        cfg = _read(run / "config.json") or {}
+        model = cfg.get("model", {})
+        adv = cfg.get("adversarial", {})
+        steps = _ckpt_steps_on_disk(run / "checkpoints")
+        return {
+            "name": run.name,
+            "family": model.get("family"),
+            "z_dim": model.get("z_dim"),
+            "likelihood": model.get("likelihood"),
+            "adversarial": (adv.get("variant") if adv.get("enabled")
+                            else None),
+            "dataset": cfg.get("data", {}).get("dataset"),
+            "train_steps": cfg.get("train", {}).get("steps"),
+            "latest_checkpoint": steps[-1] if steps else None,
+        }
+
+    if name is None:
+        runs = sorted(p for p in root.iterdir()
+                      if p.is_dir() and (p / "config.json").exists()) \
+            if root.exists() else []
+        return {"results_dir": str(root),
+                "runs": [_summary(r) for r in runs]}
+
+    run = root / name
+    if not (run / "config.json").exists():
+        raise FileNotFoundError(
+            f"no run named {name!r} under {root} (no config.json)")
+    out = _summary(run)
+    out["checkpoint_steps"] = _ckpt_steps_on_disk(run / "checkpoints")
+    out["best"] = _read(run / "best.json")
+    for f in ("eval.json", "ood.json", "sample_quality.json"):
+        data = _read(run / f)
+        if data is not None:
+            out[f.removesuffix(".json")] = data
+    metrics = run / "metrics.jsonl"
+    if metrics.exists():
+        last = None
+        with metrics.open() as fh:
+            for line in fh:
+                if line.strip():
+                    last = line
+        if last:
+            try:
+                out["last_metrics"] = json.loads(last)
+            except json.JSONDecodeError:
+                pass
+    return out
+
+
 def _load_named_model(cfg: Config, name: str):
     """(cfg_b, params_b, d_params_b) for a results-dir name: architecture
     from its saved config.json (falls back to the preset registry), params

@@ -91,6 +91,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="list the named config presets (the five reference "
                         "configs) with their docstrings")
 
+    p_info = sub.add_parser("info",
+                            help="introspect the results dir: list runs, "
+                                 "or summarize one run's config/"
+                                 "checkpoints/metrics (device-free — safe "
+                                 "next to a live TPU job)")
+    p_info.add_argument("name", nargs="?", default=None,
+                        help="run name (omit to list all runs)")
+    p_info.add_argument("--results-dir", default="results")
+
     p_exp = sub.add_parser("export",
                            help="AOT-export a serving artifact (StableHLO)")
     _add_common(p_exp, "mnist_vae")
@@ -105,6 +114,13 @@ def main(argv: list[str] | None = None) -> int:
                             "baked params (sampler only; ~4x smaller)")
 
     args = parser.parse_args(argv)
+    if args.command == "info":
+        # Device-free by design (api.info reads the filesystem only) —
+        # must stay safe to run next to a live TPU job on this relay.
+        from apv_tpu.api import info
+        print(json.dumps(info(args.name, results_dir=args.results_dir),
+                         indent=2))
+        return 0
     if args.command == "presets":
         # No backend init: listing configs must not touch the TPU (one
         # process at a time on this relay).

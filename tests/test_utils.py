@@ -167,3 +167,44 @@ def test_cli_presets_lists_all(capsys):
     for name in PRESETS:
         assert name in out
     assert "Config 1" in out and "Config 5" in out
+
+
+def test_cli_info_lists_and_summarizes(tmp_path, capsys):
+    """`apv info` is filesystem-only introspection: a listing row per run
+    and a full summary with checkpoint steps, best record, and result
+    files — assembled without touching any device (one-TPU-process
+    rule)."""
+    import apv_tpu
+    from apv_tpu.cli import main
+
+    run = tmp_path / "demo"
+    (run / "checkpoints" / "100").mkdir(parents=True)
+    (run / "checkpoints" / "300").mkdir()
+    (run / "checkpoints" / "junk.tmp").write_text("")   # non-step entry
+    (run / "config.json").write_text(json.dumps({
+        "model": {"family": "conv", "z_dim": 4, "likelihood": "bernoulli"},
+        "adversarial": {"enabled": True, "variant": "learned_prior"},
+        "data": {"dataset": "mnist"}, "train": {"steps": 300}}))
+    (run / "best.json").write_text(json.dumps({"step": 100,
+                                               "valid_elbo": -1.0}))
+    (run / "eval.json").write_text(json.dumps({"bits_per_dim": 0.5}))
+    with (run / "metrics.jsonl").open("w") as fh:
+        fh.write(json.dumps({"step": 100, "loss": 2.0}) + "\n")
+        fh.write(json.dumps({"step": 300, "loss": 1.0}) + "\n")
+
+    listing = apv_tpu.info(results_dir=str(tmp_path))
+    assert [r["name"] for r in listing["runs"]] == ["demo"]
+    assert listing["runs"][0]["latest_checkpoint"] == 300
+
+    one = apv_tpu.info("demo", results_dir=str(tmp_path))
+    assert one["checkpoint_steps"] == [100, 300]
+    assert one["best"]["step"] == 100
+    assert one["eval"]["bits_per_dim"] == 0.5
+    assert one["last_metrics"]["step"] == 300
+    assert one["adversarial"] == "learned_prior"
+
+    assert main(["info", "demo", "--results-dir", str(tmp_path)]) == 0
+    assert "checkpoint_steps" in capsys.readouterr().out
+
+    with pytest.raises(FileNotFoundError):
+        apv_tpu.info("nope", results_dir=str(tmp_path))
