@@ -20,11 +20,18 @@ def _resolve(config: str | Config, overrides: list[str] | None) -> Config:
     return apply_overrides(cfg, overrides or [])
 
 
+def _decode_result_json(text: str):
+    """Decode a results-dir JSON payload, tolerating the legacy
+    double-encoded format (a JSON string containing JSON). Single owner
+    of that quirk — _saved_config and info() both route through here."""
+    d = json.loads(text)
+    return json.loads(d) if isinstance(d, str) else d
+
+
 def _saved_config(cfg: Config, checkpoint_dir: str | None = None,
                   name: str | None = None):
     """The config.json saved next to the checkpoint this cfg points at —
-    or, with ``name``, next to that results-dir run — (None if absent).
-    Handles legacy double-encoded files; the single owner of that quirk."""
+    or, with ``name``, next to that results-dir run — (None if absent)."""
     from apv_tpu.utils.config import config_from_dict
 
     if checkpoint_dir is not None:
@@ -34,10 +41,7 @@ def _saved_config(cfg: Config, checkpoint_dir: str | None = None,
         cfg_path = Path(cfg.results_dir) / owner / "config.json"
     if not cfg_path.exists():
         return None
-    d = json.loads(cfg_path.read_text())
-    if isinstance(d, str):              # legacy double-encoded config.json
-        d = json.loads(d)
-    return config_from_dict(d)
+    return config_from_dict(_decode_result_json(cfg_path.read_text()))
 
 
 def _adopt_checkpoint_arch(cfg: Config, overrides: list[str] | None,
@@ -258,6 +262,10 @@ def visualize(config: str | Config = "mnist_vae", *,
         if cfg.adversarial.enabled:
             d_apply = d_apply_fn(make_latent_d(cfg.adversarial))
             d_params = _d(state, cfg)
+        elif refine > 0:
+            raise ValueError("refine applies to the adversarially-shaped "
+                             "prior; this model has no latent "
+                             "discriminator — drop --refine")
         data = latent_scatter_data(model, _p(state, cfg), x_in,
                                    jax.random.PRNGKey(seed),
                                    cfg.model.z_dim, d_apply=d_apply,
@@ -292,7 +300,7 @@ def visualize(config: str | Config = "mnist_vae", *,
         save_image_grid(flat, path, cols=steps)
         return frames
     raise ValueError(f"unknown visualization {what!r} "
-                     "(reconstruct|interpolate)")
+                     "(reconstruct|interpolate|latent)")
 
 
 def export_artifact(config: str | Config = "mnist_vae", *,
@@ -350,8 +358,7 @@ def info(name: str | None = None, *,
 
     def _read(p: Path):
         try:
-            d = json.loads(p.read_text())
-            return json.loads(d) if isinstance(d, str) else d
+            return _decode_result_json(p.read_text())
         except (OSError, json.JSONDecodeError):
             return None
 

@@ -55,7 +55,16 @@ class SNDense(nn.Module):
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,))
         d_in = kernel.shape[0]
-        v = jnp.full((d_in,), 1.0 / jnp.sqrt(d_in), kernel.dtype)
+        # Fixed RANDOM start vector (deterministic in the layer shape): a
+        # structured start like all-ones is exactly orthogonal to the top
+        # singular vector for any kernel whose columns sum to zero —
+        # power iteration then returns sigma=0 and kernel/sigma NaNs the
+        # forward (round-3 review finding). A fixed Gaussian start is
+        # almost-surely non-orthogonal for every kernel the optimizer can
+        # reach, and keeps the layer a pure function of its params.
+        v = jax.random.normal(jax.random.PRNGKey(d_in * 31 + self.features),
+                              (d_in,), kernel.dtype)
+        v = v / (jnp.linalg.norm(v) + 1e-12)
         u = kernel.T @ v
         for _ in range(self.n_iter):
             u = u / (jnp.linalg.norm(u) + 1e-12)
@@ -64,7 +73,9 @@ class SNDense(nn.Module):
             u = kernel.T @ v
         u = jax.lax.stop_gradient(u / (jnp.linalg.norm(u) + 1e-12))
         v = jax.lax.stop_gradient(v)
-        sigma = v @ kernel @ u
+        # max guard: sigma=0 only for the zero kernel, where W/sigma must
+        # degrade to the zero map, not 0/0.
+        sigma = jnp.maximum(v @ kernel @ u, 1e-12)
         return x @ (kernel / sigma) + bias
 
 

@@ -57,6 +57,11 @@ def langevin_refine(key: jax.Array, z0: jax.Array, logp_fn, steps: int, *,
 
     Returns (z, mean_accept_rate, final_step_size).
     """
+    if steps < 1:
+        raise ValueError(f"langevin_refine needs steps >= 1, got {steps} "
+                         "(a 0-step scan would report a NaN acceptance "
+                         "rate; skip the call instead)")
+
     def logp_and_grad(z):
         lp, vjp = jax.vjp(logp_fn, z)
         (g,) = vjp(jnp.ones_like(lp))
@@ -101,6 +106,15 @@ def sample_prior(key: jax.Array, n: int, z_dim: int, *, d_apply=None,
     MALA acceptance rate and adapted step size.
     """
     if d_apply is None:
+        if refine_steps > 0:
+            # Loud, not silent: MALA refines the SHAPED prior; under the
+            # plain N(0,I) prior the draw is already exact, and quietly
+            # skipping the refinement would let an A/B protocol record
+            # refined-vs-unrefined metrics that are the same protocol
+            # (round-3 review finding).
+            raise ValueError("refine_steps applies to the adversarially-"
+                             "shaped prior; this model has no latent "
+                             "discriminator — drop --refine")
         z = jax.random.normal(key, (n, z_dim), jnp.float32)
         return (z, {}) if return_diagnostics else z
     k_pool, k_sel, k_mala = jax.random.split(key, 3)

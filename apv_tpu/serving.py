@@ -30,6 +30,12 @@ from apv_tpu.utils.config import Config
 def _sampler_fn(cfg: Config, params, d_params, refine_steps: int = 0):
     model = build_model(cfg.model)
     use_adv = cfg.adversarial.enabled and d_params is not None
+    if refine_steps > 0 and not use_adv:
+        raise ValueError("refine_steps applies to the adversarially-shaped "
+                         "prior; this checkpoint has no latent "
+                         "discriminator — an artifact exported with a "
+                         "silently-dropped refinement would misreport its "
+                         "sampling protocol")
     disc = make_latent_d(cfg.adversarial) if use_adv else None
 
     def fn(seed: jax.Array) -> jax.Array:

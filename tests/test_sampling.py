@@ -95,6 +95,21 @@ def test_langevin_refine_pure_gaussian():
     assert float(eps) > 0.0
 
 
+def test_refine_without_discriminator_raises():
+    """Regression (round-3 review): silently skipping the refinement on a
+    plain-prior model would let an A/B protocol record refined-vs-
+    unrefined metrics that are the same protocol."""
+    import pytest
+
+    from apv_tpu.sampling.run import langevin_refine, sample_prior
+
+    with pytest.raises(ValueError, match="no latent discriminator"):
+        sample_prior(jax.random.PRNGKey(0), 8, 4, refine_steps=5)
+    with pytest.raises(ValueError, match="steps >= 1"):
+        langevin_refine(jax.random.PRNGKey(0), jnp.zeros((4, 2)),
+                        lambda z: -jnp.sum(z * z, -1), 0)
+
+
 def test_latent_scatter_data_adversarial():
     """The scatter data carries all three clouds as [N,2] PC projections,
     the posterior cloud is exactly centered (it defines the PCs), and the

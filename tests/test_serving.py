@@ -58,6 +58,18 @@ def test_sampler_export_refined(tmp_path):
         np.asarray(serving.load_exported(p_ref).call(jnp.int32(3))), b)
 
 
+def test_sampler_export_refine_needs_discriminator(tmp_path):
+    """Regression (round-3 review): an artifact exported with a silently
+    dropped refinement would misreport its sampling protocol."""
+    import pytest
+
+    cfg = tiny_config("mnist_vae", **{"eval.batch_size": 4})
+    state = _state(cfg)
+    with pytest.raises(ValueError, match="no latent discriminator"):
+        serving.export_sampler(cfg, state.params, None,
+                               tmp_path / "x.stablehlo", refine_steps=4)
+
+
 def test_sampler_int8_quantized_export(tmp_path):
     """int8 weight-only quantization: artifact shrinks ~4x on the baked
     weights and the decoded images stay close to the f32 artifact's."""

@@ -37,6 +37,36 @@ def test_sn_dense_matches_svd_sigma():
     np.testing.assert_allclose(np.asarray(y), expected, atol=1e-4)
 
 
+def test_sn_dense_zero_column_sum_kernel():
+    """Regression (round-3 review): a kernel whose columns sum to zero is
+    exactly orthogonal to an all-ones power-iteration start — the old
+    fixed start returned sigma=0 and NaN outputs. The random fixed start
+    must recover the true sigma."""
+    from apv_tpu.models import SNDense
+
+    kernel = np.array([[1.0, 1.0, 1.0],
+                       [-1.0, -1.0, -1.0],
+                       [0.0, 0.0, 0.0],
+                       [0.0, 0.0, 0.0]], np.float32)   # columns sum to 0
+    x = np.eye(4, dtype=np.float32)
+    y = SNDense(3).apply(
+        {"params": {"kernel": jnp.asarray(kernel),
+                    "bias": jnp.zeros((3,))}}, jnp.asarray(x))
+    assert np.all(np.isfinite(np.asarray(y)))
+    sigma = np.linalg.svd(kernel, compute_uv=False)[0]
+    np.testing.assert_allclose(np.asarray(y), x @ (kernel / sigma),
+                               atol=1e-4)
+
+
+def test_sn_dense_zero_kernel_degrades_to_zero_map():
+    from apv_tpu.models import SNDense
+
+    y = SNDense(3).apply(
+        {"params": {"kernel": jnp.zeros((4, 3)), "bias": jnp.zeros((3,))}},
+        jnp.ones((2, 4)))
+    assert np.all(np.asarray(y) == 0.0)
+
+
 def test_sn_discriminator_is_1_lipschitz():
     """With SN on every layer and leaky_relu (slope ≤ 1), the whole D is
     1-Lipschitz: |D(a) − D(b)| ≤ ‖a − b‖ for all pairs."""
