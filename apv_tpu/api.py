@@ -173,7 +173,7 @@ def sample(config: str | Config = "mnist_vae", *,
            checkpoint_dir: str | None = None, n: int = 64,
            mode: str = "mean", seed: int = 0,
            out_path: str | None = None, quality_n: int = 0,
-           refine: int = 0):
+           refine: int = 0, prior: str = "auto"):
     """Decode n prior samples; writes a PNG grid, returns the images.
 
     ``quality_n > 0`` additionally computes generated-vs-real sample-quality
@@ -185,37 +185,63 @@ def sample(config: str | Config = "mnist_vae", *,
     escape hatch for converged models whose sharp D collapses the SIR
     pool's effective sample size. Prints the sampler diagnostics
     (SIR ESS, MALA acceptance) alongside.
+
+    ``prior``: 'auto' draws from the model's own prior (adversarially
+    shaped when a D exists, else N(0,I)); 'standard' forces N(0,I);
+    'expost' fits a diagonal Gaussian to the aggregate posterior over the
+    test split and decodes from that (ex-post density estimation — the
+    remedy when the trained prior under-disperses vs q(z), see
+    `--visualize latent` and RESULTS.md 800k A/B).
     """
     from apv_tpu.models import build_model, d_apply_fn, make_latent_d
     from apv_tpu.sampling import generate_samples, save_image_grid
 
+    if prior not in ("auto", "standard", "expost"):
+        raise ValueError(f"unknown prior {prior!r} (auto|standard|expost)")
     cfg = _adopt_checkpoint_arch(_resolve(config, overrides), overrides,
                                  checkpoint_dir)
     state = _restore_state(cfg, checkpoint_dir)
     model = build_model(cfg.model)
     d_apply = d_params = None
-    if cfg.adversarial.enabled:
+    if cfg.adversarial.enabled and prior == "auto":
         # d_apply_fn gives a stable function identity so the cached jitted
         # sampling pass is reused across calls (sampling/run._sample_fn)
         d_apply = d_apply_fn(make_latent_d(cfg.adversarial))
         d_params = _d(state, cfg)
+    prior_moments = (_expost_moments(cfg, model, _p(state, cfg))
+                     if prior == "expost" else None)
     images, diag = generate_samples(
         model, _p(state, cfg), jax.random.PRNGKey(seed),
         n, cfg.model.z_dim, cfg.model.likelihood,
         cfg.model.image_shape[2], d_apply=d_apply,
         d_params=d_params, mode=mode, refine_steps=refine,
-        return_diagnostics=True)
+        prior_moments=prior_moments, return_diagnostics=True)
     if diag:
         print(json.dumps({"sampler_diagnostics": diag}))
     path = out_path or Path(cfg.results_dir) / cfg.name / "samples.png"
     save_image_grid(images, path)
     if quality_n > 0:
         from apv_tpu.eval.sample_quality import sample_quality
-        metrics = sample_quality(cfg, _p(state, cfg), d_params, n=quality_n,
-                                 seed=seed, refine_steps=refine)
+        metrics = sample_quality(cfg, _p(state, cfg),
+                                 d_params if prior == "auto" else None,
+                                 n=quality_n, seed=seed,
+                                 refine_steps=refine,
+                                 prior_moments=prior_moments)
+        metrics["prior"] = prior
         _write_json(cfg, "sample_quality.json", metrics)
         print(json.dumps(metrics, indent=2))
     return images
+
+
+def _expost_moments(cfg: Config, model, params, max_examples: int = 2048):
+    """Aggregate-posterior moments over the test split (preprocessed the
+    way training saw it) for the ex-post generation prior."""
+    from apv_tpu.eval.run import _prep_eval_batch, eval_arrays
+    from apv_tpu.sampling.run import expost_prior_moments
+
+    arrays = eval_arrays(cfg, None, max_examples=max_examples)
+    x_in, _ = _prep_eval_batch(cfg, arrays["image"][:max_examples])
+    return expost_prior_moments(model, params, x_in)
 
 
 def visualize(config: str | Config = "mnist_vae", *,

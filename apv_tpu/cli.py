@@ -69,6 +69,13 @@ def main(argv: list[str] | None = None) -> int:
     p_sample.add_argument("--steps", type=int, default=8,
                           help="interpolation steps (with --visualize "
                                "interpolate)")
+    p_sample.add_argument("--prior", choices=("auto", "standard", "expost"),
+                          default="auto",
+                          help="latent draw: the model's own (shaped) "
+                               "prior, forced N(0,I), or an ex-post "
+                               "aggregate-posterior Gaussian fit to the "
+                               "test split (for priors that under-"
+                               "disperse vs q(z))")
     p_sample.add_argument("--refine", type=int, default=0, metavar="STEPS",
                           help="MALA refinement steps on the adversarially-"
                                "shaped prior after the SIR draw (0 = SIR "
@@ -179,7 +186,8 @@ def main(argv: list[str] | None = None) -> int:
             api.sample(args.preset, overrides=args.overrides,
                        checkpoint_dir=args.checkpoint_dir, n=args.n,
                        mode=args.mode, seed=args.seed, out_path=args.out,
-                       quality_n=args.quality, refine=args.refine)
+                       quality_n=args.quality, refine=args.refine,
+                       prior=args.prior)
             print("wrote sample grid")
     elif args.command == "ood":
         result = api.ood_score(args.preset, overrides=args.overrides,

@@ -106,7 +106,7 @@ def mmd2_rbf(f_a: np.ndarray, f_b: np.ndarray,
 def sample_quality(cfg, params, d_params=None, *, n: int = 2048,
                    seed: int = 0, feature_seed: int = 0, mesh=None,
                    batch_size: int = 256, mode: str = "sample",
-                   refine_steps: int = 0) -> dict:
+                   refine_steps: int = 0, prior_moments=None) -> dict:
     """Generated-vs-real distances for a checkpoint (config-5 suite
     extension; the reference's exact sample-quality reporting is
     unreadable — SURVEY.md §0 — so this ships as a monitoring metric).
@@ -162,7 +162,8 @@ def sample_quality(cfg, params, d_params=None, *, n: int = 2048,
             fake = generate_samples(model, params, k_gen, b, cfg.model.z_dim,
                                     cfg.model.likelihood, c, d_apply=d_apply,
                                     d_params=d_params, mode=mode,
-                                    refine_steps=refine_steps)
+                                    refine_steps=refine_steps,
+                                    prior_moments=prior_moments)
             f_fake.append(np.asarray(feat(fake)))
             f_real.append(np.asarray(feat(real[i:i + b])))
     f_real = np.concatenate(f_real)

@@ -160,21 +160,50 @@ def decoder_pixels(out: jax.Array, key: jax.Array, likelihood: str,
     return discretized_logistic_sample(key, mean, log_scale)
 
 
+def expost_prior_moments(model, params, x_in: jax.Array):
+    """Aggregate-posterior moments for the ex-post generation prior.
+
+    Fits a diagonal Gaussian to q(z) = E_x[q(z|x)] by the law of total
+    variance: mean = E_x[μ(x)], var = Var_x(μ(x)) + E_x[σ²(x)]. Standard
+    ex-post density estimation (RAE lineage, arXiv 1903.12436 §4): when
+    the trained prior under-disperses relative to q(z) — directly
+    visible in `--visualize latent`, and measured on the converged
+    flagship (RESULTS.md 800k MALA A/B) — decoding from a fit to q(z)
+    is the established remedy. Returns ([Z], [Z]) device arrays.
+    """
+    @jax.jit
+    def _moments(params, x):
+        mean, logvar = model.apply({"params": params}, x, method="encode")
+        agg_mean = jnp.mean(mean, axis=0)
+        agg_var = (jnp.var(mean, axis=0)
+                   + jnp.mean(jnp.exp(logvar), axis=0))
+        return agg_mean, agg_var
+
+    return _moments(params, x_in)
+
+
 @functools.lru_cache(maxsize=32)
 def _sample_fn(model, n: int, z_dim: int, likelihood: str,
                image_channels: int, mode: str, d_apply,
-               refine_steps: int):
+               refine_steps: int, expost: bool):
     """Cached jitted decode pass: without the cache every generate_samples
     call builds a fresh closure, so jit re-traces (and reloads from the
     persistent compile cache) per call — ~475 ms of pure overhead on the
     flagship decoder vs ~22 ms of compute (RESULTS.md sampling row)."""
 
     @jax.jit
-    def _run(params, d_params, key):
+    def _run(params, d_params, key, prior_moments):
         k_z, k_x = jax.random.split(key)
-        z, diag = sample_prior(k_z, n, z_dim, d_apply=d_apply,
-                               d_params=d_params, refine_steps=refine_steps,
-                               return_diagnostics=True)
+        if expost:
+            agg_mean, agg_var = prior_moments
+            eps = jax.random.normal(k_z, (n, z_dim), jnp.float32)
+            z = agg_mean + jnp.sqrt(agg_var) * eps
+            diag = {}
+        else:
+            z, diag = sample_prior(k_z, n, z_dim, d_apply=d_apply,
+                                   d_params=d_params,
+                                   refine_steps=refine_steps,
+                                   return_diagnostics=True)
         out = model.apply({"params": params}, z, method="decode")
         return decoder_pixels(out, k_x, likelihood, image_channels,
                               mode), diag
@@ -185,13 +214,21 @@ def _sample_fn(model, n: int, z_dim: int, likelihood: str,
 def generate_samples(model, params, key: jax.Array, n: int, z_dim: int,
                      likelihood: str, image_channels: int, *,
                      d_apply=None, d_params=None, mode: str = "mean",
-                     refine_steps: int = 0,
+                     refine_steps: int = 0, prior_moments=None,
                      return_diagnostics: bool = False):
     """Decode n prior samples → images in [0,1], one jitted batched pass
-    (SIR + optional MALA refine + decode compile together)."""
+    (SIR + optional MALA refine + decode compile together).
+
+    ``prior_moments`` (from :func:`expost_prior_moments`) switches the
+    latent draw to the ex-post aggregate-posterior Gaussian instead of
+    the model's own (shaped) prior."""
+    if prior_moments is not None and refine_steps > 0:
+        raise ValueError("refine_steps applies to the adversarially-shaped "
+                         "prior; the ex-post prior is sampled exactly — "
+                         "use one or the other")
     fn = _sample_fn(model, n, z_dim, likelihood, image_channels, mode,
-                    d_apply, refine_steps)
-    images, diag = fn(params, d_params, key)
+                    d_apply, refine_steps, prior_moments is not None)
+    images, diag = fn(params, d_params, key, prior_moments)
     if return_diagnostics:
         return images, {k: (float(v) if hasattr(v, "shape") else v)
                         for k, v in diag.items()}

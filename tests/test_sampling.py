@@ -152,6 +152,59 @@ def test_visualize_latent_writes_png(tmp_path):
     assert data["posterior"].shape[1] == 2
 
 
+def test_expost_prior_moments_and_draws():
+    """The ex-post prior moments must match the law-of-total-variance
+    computation over the encoder's outputs, and draws from them must
+    reproduce those moments."""
+    from apv_tpu.models import build_model
+    from apv_tpu.sampling.run import expost_prior_moments, generate_samples
+    from apv_tpu.training.step import make_train_fns
+
+    cfg = tiny_config("mnist_vae")
+    fns = make_train_fns(cfg)
+    state = fns.init_fn(jax.random.PRNGKey(0))
+    model = build_model(cfg.model)
+    x = jax.random.uniform(jax.random.PRNGKey(1),
+                           (32,) + tuple(cfg.model.image_shape))
+
+    agg_mean, agg_var = expost_prior_moments(model, state.params, x)
+    mean, logvar = model.apply({"params": state.params}, x, method="encode")
+    mean, logvar = np.asarray(mean), np.asarray(logvar)
+    # jitted vs eager encoder passes reorder bf16 fusions — tolerance is
+    # for compute-path noise, not the estimator
+    np.testing.assert_allclose(np.asarray(agg_mean), mean.mean(0),
+                               rtol=2e-2, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(agg_var),
+        mean.var(0) + np.exp(logvar).mean(0), rtol=2e-2, atol=1e-4)
+
+    imgs = generate_samples(model, state.params, jax.random.PRNGKey(2),
+                            16, cfg.model.z_dim, cfg.model.likelihood, 1,
+                            prior_moments=(agg_mean, agg_var))
+    assert imgs.shape == (16,) + tuple(cfg.model.image_shape)
+
+    import pytest
+    with pytest.raises(ValueError, match="ex-post prior is sampled"):
+        generate_samples(model, state.params, jax.random.PRNGKey(2),
+                         16, cfg.model.z_dim, cfg.model.likelihood, 1,
+                         prior_moments=(agg_mean, agg_var), refine_steps=3)
+
+
+def test_sample_api_expost_prior(tmp_path):
+    import apv_tpu
+
+    cfg = tiny_config("mnist_advprior", tmp_dir=str(tmp_path), **{
+        "train.steps": 1, "train.eval_every": 0, "train.batch_size": 8,
+        "train.checkpoint_every": 1, "data.synthetic_size": 64})
+    apv_tpu.train(cfg)
+    imgs = apv_tpu.sample(cfg, n=8, prior="expost")
+    assert imgs.shape == (8,) + tuple(cfg.model.image_shape)
+
+    import pytest
+    with pytest.raises(ValueError, match="auto\\|standard\\|expost"):
+        apv_tpu.sample(cfg, n=8, prior="bogus")
+
+
 def test_generate_samples_refined_end_to_end():
     """The jitted decode pass accepts refine_steps, returns diagnostics,
     and produces images in [0,1] of the right shape."""
