@@ -39,17 +39,24 @@ def latent_scatter_data(model, params, x_in: jax.Array, key: jax.Array,
 
     @jax.jit
     def _device(params, d_params, x, key):
-        k_p, k_s = jax.random.split(key)
-        mean, _ = model.apply({"params": params}, x, method="encode")
+        k_p, k_s, k_e = jax.random.split(key, 3)
+        mean, logvar = model.apply({"params": params}, x, method="encode")
         z_prior = jax.random.normal(k_p, (n, z_dim), jnp.float32)
+        # ex-post aggregate-posterior Gaussian (law of total variance) —
+        # the same fit `apv sample --prior expost` decodes from, drawn
+        # here so the scatter shows where that generation prior lives
+        agg_mean = jnp.mean(mean, axis=0)
+        agg_var = jnp.var(mean, axis=0) + jnp.mean(jnp.exp(logvar), axis=0)
+        z_expost = agg_mean + jnp.sqrt(agg_var) * jax.random.normal(
+            k_e, (n, z_dim), jnp.float32)
         if d_apply is None:
-            return mean, z_prior, z_prior
+            return mean, z_prior, z_prior, z_expost
         z_shaped = sample_prior(k_s, n, z_dim, d_apply=d_apply,
                                 d_params=d_params,
                                 refine_steps=refine_steps)
-        return mean, z_prior, z_shaped
+        return mean, z_prior, z_shaped, z_expost
 
-    mean, z_prior, z_shaped = _device(params, d_params, x_in, key)
+    mean, z_prior, z_shaped, z_expost = _device(params, d_params, x_in, key)
     mu = np.asarray(mean, np.float64)
     centered = mu - mu.mean(0)
     # PCs of the aggregate posterior — the axes where q(z) actually lives
@@ -62,7 +69,7 @@ def latent_scatter_data(model, params, x_in: jax.Array, key: jax.Array,
         return (np.asarray(z, np.float64) - mu.mean(0)) @ basis
 
     out = {"posterior": proj(mu), "prior": proj(z_prior),
-           "explained": explained}
+           "expost_prior": proj(z_expost), "explained": explained}
     if d_apply is not None:
         out["shaped_prior"] = proj(z_shaped)
     return out
@@ -80,6 +87,7 @@ def save_latent_scatter(data: dict, path: str | Path,
         ("posterior", "aggregate posterior q(z)", "#1f77b4", 0.45),
         ("prior", "prior N(0, I)", "#9aa0a6", 0.30),
         ("shaped_prior", "shaped prior p*(z)", "#d62728", 0.45),
+        ("expost_prior", "ex-post prior (fit to q)", "#2ca02c", 0.35),
     ]
     for key, label, color, alpha in styles:
         if key in data:

@@ -130,7 +130,7 @@ def test_latent_scatter_data_adversarial():
                                jax.random.PRNGKey(1), cfg.model.z_dim,
                                d_apply=d_apply, d_params=state.d_params,
                                refine_steps=3)
-    for key in ("posterior", "prior", "shaped_prior"):
+    for key in ("posterior", "prior", "shaped_prior", "expost_prior"):
         assert data[key].shape == (32, 2), (key, data[key].shape)
     np.testing.assert_allclose(data["posterior"].mean(0), 0.0, atol=1e-6)
     assert 0.0 <= data["explained"] <= 1.0
