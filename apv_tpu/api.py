@@ -333,23 +333,42 @@ def export_artifact(config: str | Config = "mnist_vae", *,
                     overrides: list[str] | None = None,
                     checkpoint_dir: str | None = None,
                     what: str = "sampler", out_path: str | None = None,
-                    quantize: str | None = None, refine: int = 0):
-    """AOT-export a serving artifact (StableHLO, params baked in)."""
+                    quantize: str | None = None, refine: int = 0,
+                    prior: str = "auto"):
+    """AOT-export a serving artifact (StableHLO, params baked in).
+
+    ``prior='expost'`` bakes the ex-post aggregate-posterior Gaussian
+    (fit to the test split at export time) in as the sampler's
+    generation prior — the measured-best mode on converged checkpoints
+    (RESULTS.md 800k A/B). 'standard' forces N(0,I); 'auto' keeps the
+    model's own (shaped) prior.
+    """
     from apv_tpu import serving
 
+    if prior not in ("auto", "standard", "expost"):
+        raise ValueError(f"unknown prior {prior!r} (auto|standard|expost)")
     cfg = _adopt_checkpoint_arch(_resolve(config, overrides), overrides,
                                  checkpoint_dir)
     state = _restore_state(cfg, checkpoint_dir)
     out = out_path or (Path(cfg.results_dir) / cfg.name / f"{what}.stablehlo")
     if what == "sampler":
-        d_params = _d(state, cfg)
+        d_params = _d(state, cfg) if prior == "auto" else None
+        prior_moments = None
+        if prior == "expost":
+            from apv_tpu.models import build_model
+            prior_moments = _expost_moments(cfg, build_model(cfg.model),
+                                            _p(state, cfg))
         return serving.export_sampler(cfg, _p(state, cfg), d_params, out,
                                       quantize=quantize,
-                                      refine_steps=refine)
+                                      refine_steps=refine,
+                                      prior_moments=prior_moments)
     if what == "scorer":
         if refine:
             raise ValueError("refine is sampler-only (MALA on the shaped "
                              "prior); the scorer draws no prior samples")
+        if prior != "auto":
+            raise ValueError("prior is sampler-only: the scorer evaluates "
+                             "the model's own (learned) prior density")
         if quantize is not None:
             raise ValueError("quantize is sampler-only: a silently "
                              "full-precision scorer artifact would "

@@ -116,6 +116,11 @@ def main(argv: list[str] | None = None) -> int:
     p_exp.add_argument("--refine", type=int, default=0, metavar="STEPS",
                        help="bake STEPS MALA refinement steps on the "
                             "shaped prior into the sampler artifact")
+    p_exp.add_argument("--prior", choices=("auto", "standard", "expost"),
+                       default="auto",
+                       help="sampler artifact's latent draw; 'expost' "
+                            "bakes an aggregate-posterior Gaussian fit "
+                            "(computed at export time) in as constants")
     p_exp.add_argument("--quantize", choices=("int8",), default=None,
                        help="weight-only post-training quantization of the "
                             "baked params (sampler only; ~4x smaller)")
@@ -199,7 +204,7 @@ def main(argv: list[str] | None = None) -> int:
                                    checkpoint_dir=args.checkpoint_dir,
                                    what=args.what, out_path=args.out,
                                    quantize=args.quantize,
-                                   refine=args.refine)
+                                   refine=args.refine, prior=args.prior)
         print(f"exported {args.what} to {path}")
     return 0
 

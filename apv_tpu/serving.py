@@ -27,15 +27,19 @@ from apv_tpu.training.losses import (decoder_output_to_likelihood_params,
 from apv_tpu.utils.config import Config
 
 
-def _sampler_fn(cfg: Config, params, d_params, refine_steps: int = 0):
+def _sampler_fn(cfg: Config, params, d_params, refine_steps: int = 0,
+                prior_moments=None):
     model = build_model(cfg.model)
     use_adv = cfg.adversarial.enabled and d_params is not None
-    if refine_steps > 0 and not use_adv:
+    if refine_steps > 0 and (not use_adv or prior_moments is not None):
         raise ValueError("refine_steps applies to the adversarially-shaped "
-                         "prior; this checkpoint has no latent "
-                         "discriminator — an artifact exported with a "
-                         "silently-dropped refinement would misreport its "
-                         "sampling protocol")
+                         "prior; this artifact would sample "
+                         + ("the ex-post prior (drawn exactly)"
+                            if prior_moments is not None
+                            else "a checkpoint with no latent "
+                                 "discriminator")
+                         + " — a silently-dropped refinement would "
+                         "misreport its sampling protocol")
     disc = make_latent_d(cfg.adversarial) if use_adv else None
 
     def fn(seed: jax.Array) -> jax.Array:
@@ -45,7 +49,13 @@ def _sampler_fn(cfg: Config, params, d_params, refine_steps: int = 0):
         # sample with the pixel-likelihood sample the moment an artifact
         # is exported with mode="sample".
         k_z, k_x = jax.random.split(jax.random.PRNGKey(seed))
-        if use_adv:
+        if prior_moments is not None:
+            # ex-post aggregate-posterior prior, moments baked in as
+            # constants at export time (the artifact sees no data)
+            agg_mean, agg_var = prior_moments
+            z = agg_mean + jnp.sqrt(agg_var) * jax.random.normal(
+                k_z, (cfg.eval.batch_size, cfg.model.z_dim), jnp.float32)
+        elif use_adv:
             z = sample_prior(k_z, cfg.eval.batch_size, cfg.model.z_dim,
                              d_apply=lambda dp, zz: disc.apply(
                                  {"params": dp}, zz),
@@ -144,7 +154,7 @@ def dequantize_params(tree, dtype=jnp.float32):
 
 def export_sampler(cfg: Config, params, d_params, out_path: str | Path,
                    quantize: str | None = None,
-                   refine_steps: int = 0) -> Path:
+                   refine_steps: int = 0, prior_moments=None) -> Path:
     """Serialize the batched generation path (params baked in).
 
     ``quantize='int8'`` applies weight-only post-training quantization to
@@ -154,7 +164,17 @@ def export_sampler(cfg: Config, params, d_params, out_path: str | Path,
     ``refine_steps > 0`` bakes that many MALA steps on the shaped prior
     into the artifact (sampling/run.py) — the `lax.scan` exports as part
     of the same StableHLO program.
+
+    ``prior_moments`` (from sampling/run.expost_prior_moments) bakes the
+    ex-post aggregate-posterior Gaussian in as the generation prior —
+    the measured-best mode on converged checkpoints (RESULTS.md 800k
+    A/B); the artifact itself never touches data.
     """
+    if prior_moments is not None:
+        # host-pull so the traced constants are plain arrays, not handles
+        # onto whatever device computed the moments
+        prior_moments = tuple(jnp.asarray(jax.device_get(m))
+                              for m in prior_moments)
     if quantize == "int8":
         q = quantize_params_int8(params)
         qd = quantize_params_int8(d_params) if d_params is not None else None
@@ -162,9 +182,9 @@ def export_sampler(cfg: Config, params, d_params, out_path: str | Path,
         def fn(seed):
             return _sampler_fn(cfg, dequantize_params(q),
                                None if qd is None else dequantize_params(qd),
-                               refine_steps)(seed)
+                               refine_steps, prior_moments)(seed)
     elif quantize is None:
-        fn = _sampler_fn(cfg, params, d_params, refine_steps)
+        fn = _sampler_fn(cfg, params, d_params, refine_steps, prior_moments)
     else:
         raise ValueError(f"unknown quantize mode {quantize!r} (int8)")
     with ops_dispatch.backend("jnp"):

@@ -70,6 +70,34 @@ def test_sampler_export_refine_needs_discriminator(tmp_path):
                                tmp_path / "x.stablehlo", refine_steps=4)
 
 
+def test_sampler_export_expost_prior(tmp_path):
+    """prior_moments bake in as constants: the artifact decodes from the
+    ex-post Gaussian (differs from the shaped-prior artifact), runs
+    deterministically, and rejects the refine combination."""
+    import pytest
+
+    cfg = tiny_config("mnist_advprior", **{"eval.batch_size": 4})
+    state = _state(cfg)
+    moments = (jnp.zeros((cfg.model.z_dim,)) + 0.3,
+               jnp.ones((cfg.model.z_dim,)) * 2.0)
+    p_adv = serving.export_sampler(cfg, state.params, state.d_params,
+                                   tmp_path / "adv.stablehlo")
+    p_exp = serving.export_sampler(cfg, state.params, None,
+                                   tmp_path / "exp.stablehlo",
+                                   prior_moments=moments)
+    a = np.asarray(serving.load_exported(p_adv).call(jnp.int32(5)))
+    b = np.asarray(serving.load_exported(p_exp).call(jnp.int32(5)))
+    assert b.shape == (4, 28, 28, 1)
+    assert np.all((b >= 0) & (b <= 1))
+    assert not np.array_equal(a, b)
+    np.testing.assert_array_equal(
+        np.asarray(serving.load_exported(p_exp).call(jnp.int32(5))), b)
+    with pytest.raises(ValueError, match="ex-post prior"):
+        serving.export_sampler(cfg, state.params, state.d_params,
+                               tmp_path / "x.stablehlo",
+                               refine_steps=3, prior_moments=moments)
+
+
 def test_sampler_int8_quantized_export(tmp_path):
     """int8 weight-only quantization: artifact shrinks ~4x on the baked
     weights and the decoded images stay close to the f32 artifact's."""
