@@ -173,7 +173,7 @@ def sample(config: str | Config = "mnist_vae", *,
            checkpoint_dir: str | None = None, n: int = 64,
            mode: str = "mean", seed: int = 0,
            out_path: str | None = None, quality_n: int = 0,
-           refine: int = 0, prior: str = "auto"):
+           refine: int = 0, prior: str = "auto", gmm_k: int = 10):
     """Decode n prior samples; writes a PNG grid, returns the images.
 
     ``quality_n > 0`` additionally computes generated-vs-real sample-quality
@@ -191,13 +191,17 @@ def sample(config: str | Config = "mnist_vae", *,
     'expost' fits a diagonal Gaussian to the aggregate posterior over the
     test split and decodes from that (ex-post density estimation — the
     remedy when the trained prior under-disperses vs q(z), see
-    `--visualize latent` and RESULTS.md 800k A/B).
+    `--visualize latent` and RESULTS.md 800k A/B); 'expost_gmm' EM-fits a
+    ``gmm_k``-component diagonal GMM instead (RAE lineage, arXiv
+    1903.12436 §4) — carries the aggregate posterior's heavy tails the
+    single Gaussian cannot.
     """
     from apv_tpu.models import build_model, d_apply_fn, make_latent_d
     from apv_tpu.sampling import generate_samples, save_image_grid
 
-    if prior not in ("auto", "standard", "expost"):
-        raise ValueError(f"unknown prior {prior!r} (auto|standard|expost)")
+    if prior not in ("auto", "standard", "expost", "expost_gmm"):
+        raise ValueError(f"unknown prior {prior!r} "
+                         "(auto|standard|expost|expost_gmm)")
     cfg = _adopt_checkpoint_arch(_resolve(config, overrides), overrides,
                                  checkpoint_dir)
     state = _restore_state(cfg, checkpoint_dir)
@@ -208,8 +212,8 @@ def sample(config: str | Config = "mnist_vae", *,
         # sampling pass is reused across calls (sampling/run._sample_fn)
         d_apply = d_apply_fn(make_latent_d(cfg.adversarial))
         d_params = _d(state, cfg)
-    prior_moments = (_expost_moments(cfg, model, _p(state, cfg))
-                     if prior == "expost" else None)
+    prior_moments = _expost_prior(cfg, model, _p(state, cfg), prior,
+                                  gmm_k=gmm_k, seed=seed)
     images, diag = generate_samples(
         model, _p(state, cfg), jax.random.PRNGKey(seed),
         n, cfg.model.z_dim, cfg.model.likelihood,
@@ -233,15 +237,23 @@ def sample(config: str | Config = "mnist_vae", *,
     return images
 
 
-def _expost_moments(cfg: Config, model, params, max_examples: int = 2048):
-    """Aggregate-posterior moments over the test split (preprocessed the
-    way training saw it) for the ex-post generation prior."""
+def _expost_prior(cfg: Config, model, params, prior: str, *,
+                  gmm_k: int = 10, seed: int = 0,
+                  max_examples: int = 2048):
+    """Fit the requested ex-post generation prior over the test split
+    (preprocessed the way training saw it): ``(mean, var)`` for 'expost',
+    ``(log_w, means, vars)`` for 'expost_gmm', None for model priors."""
+    if prior not in ("expost", "expost_gmm"):
+        return None
     from apv_tpu.eval.run import _prep_eval_batch, eval_arrays
-    from apv_tpu.sampling.run import expost_prior_moments
+    from apv_tpu.sampling.run import expost_prior_gmm, expost_prior_moments
 
     arrays = eval_arrays(cfg, None, max_examples=max_examples)
     x_in, _ = _prep_eval_batch(cfg, arrays["image"][:max_examples])
-    return expost_prior_moments(model, params, x_in)
+    if prior == "expost":
+        return expost_prior_moments(model, params, x_in)
+    return expost_prior_gmm(model, params, x_in,
+                            jax.random.PRNGKey(seed), k=gmm_k)
 
 
 def visualize(config: str | Config = "mnist_vae", *,
@@ -334,30 +346,30 @@ def export_artifact(config: str | Config = "mnist_vae", *,
                     checkpoint_dir: str | None = None,
                     what: str = "sampler", out_path: str | None = None,
                     quantize: str | None = None, refine: int = 0,
-                    prior: str = "auto"):
+                    prior: str = "auto", gmm_k: int = 10):
     """AOT-export a serving artifact (StableHLO, params baked in).
 
     ``prior='expost'`` bakes the ex-post aggregate-posterior Gaussian
     (fit to the test split at export time) in as the sampler's
     generation prior — the measured-best mode on converged checkpoints
-    (RESULTS.md 800k A/B). 'standard' forces N(0,I); 'auto' keeps the
+    (RESULTS.md 800k A/B); 'expost_gmm' bakes a ``gmm_k``-component
+    ex-post GMM instead. 'standard' forces N(0,I); 'auto' keeps the
     model's own (shaped) prior.
     """
     from apv_tpu import serving
 
-    if prior not in ("auto", "standard", "expost"):
-        raise ValueError(f"unknown prior {prior!r} (auto|standard|expost)")
+    if prior not in ("auto", "standard", "expost", "expost_gmm"):
+        raise ValueError(f"unknown prior {prior!r} "
+                         "(auto|standard|expost|expost_gmm)")
     cfg = _adopt_checkpoint_arch(_resolve(config, overrides), overrides,
                                  checkpoint_dir)
     state = _restore_state(cfg, checkpoint_dir)
     out = out_path or (Path(cfg.results_dir) / cfg.name / f"{what}.stablehlo")
     if what == "sampler":
         d_params = _d(state, cfg) if prior == "auto" else None
-        prior_moments = None
-        if prior == "expost":
-            from apv_tpu.models import build_model
-            prior_moments = _expost_moments(cfg, build_model(cfg.model),
-                                            _p(state, cfg))
+        from apv_tpu.models import build_model
+        prior_moments = _expost_prior(cfg, build_model(cfg.model),
+                                      _p(state, cfg), prior, gmm_k=gmm_k)
         return serving.export_sampler(cfg, _p(state, cfg), d_params, out,
                                       quantize=quantize,
                                       refine_steps=refine,

@@ -69,13 +69,18 @@ def main(argv: list[str] | None = None) -> int:
     p_sample.add_argument("--steps", type=int, default=8,
                           help="interpolation steps (with --visualize "
                                "interpolate)")
-    p_sample.add_argument("--prior", choices=("auto", "standard", "expost"),
+    p_sample.add_argument("--prior", choices=("auto", "standard", "expost",
+                                              "expost_gmm"),
                           default="auto",
                           help="latent draw: the model's own (shaped) "
-                               "prior, forced N(0,I), or an ex-post "
+                               "prior, forced N(0,I), an ex-post "
                                "aggregate-posterior Gaussian fit to the "
                                "test split (for priors that under-"
-                               "disperse vs q(z))")
+                               "disperse vs q(z)), or an ex-post "
+                               "--gmm-k-component GMM fit (carries q's "
+                               "heavy tails too)")
+    p_sample.add_argument("--gmm-k", type=int, default=10, metavar="K",
+                          help="components for --prior expost_gmm")
     p_sample.add_argument("--refine", type=int, default=0, metavar="STEPS",
                           help="MALA refinement steps on the adversarially-"
                                "shaped prior after the SIR draw (0 = SIR "
@@ -116,11 +121,15 @@ def main(argv: list[str] | None = None) -> int:
     p_exp.add_argument("--refine", type=int, default=0, metavar="STEPS",
                        help="bake STEPS MALA refinement steps on the "
                             "shaped prior into the sampler artifact")
-    p_exp.add_argument("--prior", choices=("auto", "standard", "expost"),
+    p_exp.add_argument("--prior", choices=("auto", "standard", "expost",
+                                           "expost_gmm"),
                        default="auto",
                        help="sampler artifact's latent draw; 'expost' "
                             "bakes an aggregate-posterior Gaussian fit "
-                            "(computed at export time) in as constants")
+                            "(computed at export time) in as constants; "
+                            "'expost_gmm' a --gmm-k-component GMM fit")
+    p_exp.add_argument("--gmm-k", type=int, default=10, metavar="K",
+                       help="components for --prior expost_gmm")
     p_exp.add_argument("--quantize", choices=("int8",), default=None,
                        help="weight-only post-training quantization of the "
                             "baked params (sampler only; ~4x smaller)")
@@ -192,7 +201,7 @@ def main(argv: list[str] | None = None) -> int:
                        checkpoint_dir=args.checkpoint_dir, n=args.n,
                        mode=args.mode, seed=args.seed, out_path=args.out,
                        quality_n=args.quality, refine=args.refine,
-                       prior=args.prior)
+                       prior=args.prior, gmm_k=args.gmm_k)
             print("wrote sample grid")
     elif args.command == "ood":
         result = api.ood_score(args.preset, overrides=args.overrides,
@@ -204,7 +213,8 @@ def main(argv: list[str] | None = None) -> int:
                                    checkpoint_dir=args.checkpoint_dir,
                                    what=args.what, out_path=args.out,
                                    quantize=args.quantize,
-                                   refine=args.refine, prior=args.prior)
+                                   refine=args.refine, prior=args.prior,
+                                   gmm_k=args.gmm_k)
         print(f"exported {args.what} to {path}")
     return 0
 

@@ -182,6 +182,108 @@ def expost_prior_moments(model, params, x_in: jax.Array):
     return _moments(params, x_in)
 
 
+def fit_gmm_em(key: jax.Array, z: jax.Array, k: int, *,
+               iters: int = 75, var_floor: float = 1e-6):
+    """Diagonal-covariance GMM fit by EM, one XLA program.
+
+    The E-step's [N,K] Gaussian log-densities are expanded into three
+    matmuls (‖z‖²·(1/v)ᵀ − 2z·(μ/v)ᵀ + const_k) so the inner loop rides
+    the MXU instead of materializing a [N,K,Z] broadcast; the ``iters``
+    EM sweeps run under one ``lax.scan``. Means initialize greedily at
+    farthest points (k-means++-style: random first point, then argmax of
+    the min-distance-so-far) — a random-points init drops two seeds into
+    one cluster often enough to merge components; variances start at the
+    global diagonal variance, weights uniform.
+
+    Returns ``(log_weights [K], means [K,Z], variances [K,Z])``.
+    """
+    z = jnp.asarray(z, jnp.float32)
+    n, dim = z.shape
+    if k > n:
+        raise ValueError(f"cannot fit k={k} components to {n} points")
+    first = z[jax.random.randint(key, (), 0, n)]
+
+    def pick(carry, _):
+        d2 = carry
+        nxt = z[jnp.argmax(d2)]
+        return jnp.minimum(d2, jnp.sum((z - nxt) ** 2, axis=1)), nxt
+
+    d2 = jnp.sum((z - first) ** 2, axis=1)
+    _, rest = jax.lax.scan(pick, d2, None, length=k - 1)
+    means = jnp.concatenate([first[None], rest], axis=0)
+    variances = jnp.broadcast_to(jnp.var(z, axis=0) + 1e-4, (k, dim))
+    log_w = jnp.full((k,), -jnp.log(float(k)), jnp.float32)
+    z_sq = z * z                                           # [N,Z], reused
+
+    def em_sweep(carry, _):
+        log_w, means, variances = carry
+        inv_v = 1.0 / variances                            # [K,Z]
+        # log N(z_i; μ_k, v_k) = −½ (Σ_d z²/v − 2 Σ_d zμ/v + c_k)
+        c = jnp.sum(means * means * inv_v
+                    + jnp.log(2.0 * jnp.pi * variances), axis=1)   # [K]
+        quad = z_sq @ inv_v.T - 2.0 * (z @ (means * inv_v).T)      # [N,K]
+        log_r = log_w[None, :] - 0.5 * (quad + c[None, :])
+        from jax.scipy.special import logsumexp
+        log_r = log_r - logsumexp(log_r, axis=1, keepdims=True)
+        r = jnp.exp(log_r)                                 # [N,K]
+        nk = jnp.sum(r, axis=0) + 1e-6                     # [K]
+        means = (r.T @ z) / nk[:, None]
+        ex2 = (r.T @ z_sq) / nk[:, None]
+        variances = jnp.maximum(ex2 - means * means, var_floor)
+        log_w = jnp.log(nk / n)
+        return (log_w, means, variances), None
+
+    (log_w, means, variances), _ = jax.lax.scan(
+        em_sweep, (log_w, means, variances), None, length=iters)
+    return log_w, means, variances
+
+
+def expost_prior_gmm(model, params, x_in: jax.Array, key: jax.Array, *,
+                     k: int = 10, iters: int = 75, draws_per_x: int = 2):
+    """K-component ex-post prior: EM-fit a diagonal GMM to samples of the
+    aggregate posterior q(z) = E_x[q(z|x)].
+
+    The diagonal-Gaussian ex-post fit (:func:`expost_prior_moments`)
+    measurably under-carries q's heavy tails on converged checkpoints
+    (RESULTS.md 800k A/B: its residual gap is exactly the tails a single
+    diagonal Gaussian cannot hold); the RAE lineage's remedy is this
+    K-component fit (arXiv 1903.12436 §4 fits a 10-component GMM ex
+    post). ``draws_per_x`` posterior samples per datum keep the fit from
+    mistaking per-x posterior spread for between-x structure.
+
+    Returns ``(log_weights [K], means [K,Z], variances [K,Z])``.
+    """
+    from apv_tpu import ops
+
+    @jax.jit
+    def _draw(params, x, key):
+        mean, logvar = model.apply({"params": params}, x, method="encode")
+        ks = jax.random.split(key, draws_per_x)
+        zs = jnp.stack([ops.reparam_sample(kk, mean, logvar) for kk in ks])
+        return zs.reshape(-1, zs.shape[-1])
+
+    k_draw, k_fit = jax.random.split(key)
+    z = _draw(params, x_in, k_draw)
+    return jax.jit(fit_gmm_em, static_argnames=("k", "iters"))(
+        k_fit, z, k=k, iters=iters)
+
+
+def expost_prior_sample(key: jax.Array, prior_moments, n: int,
+                        z_dim: int) -> jax.Array:
+    """Draw n latents from a fitted ex-post prior: a ``(mean, var)``
+    diagonal Gaussian or a ``(log_w, means, vars)`` diagonal GMM —
+    the single draw-side owner of the tuple-arity convention."""
+    if len(prior_moments) == 2:
+        agg_mean, agg_var = prior_moments
+        eps = jax.random.normal(key, (n, z_dim), jnp.float32)
+        return agg_mean + jnp.sqrt(agg_var) * eps
+    log_w, means, variances = prior_moments
+    k_c, k_e = jax.random.split(key)
+    ids = jax.random.categorical(k_c, log_w, shape=(n,))
+    eps = jax.random.normal(k_e, (n, z_dim), jnp.float32)
+    return means[ids] + jnp.sqrt(variances[ids]) * eps
+
+
 @functools.lru_cache(maxsize=32)
 def _sample_fn(model, n: int, z_dim: int, likelihood: str,
                image_channels: int, mode: str, d_apply,
@@ -195,9 +297,7 @@ def _sample_fn(model, n: int, z_dim: int, likelihood: str,
     def _run(params, d_params, key, prior_moments):
         k_z, k_x = jax.random.split(key)
         if expost:
-            agg_mean, agg_var = prior_moments
-            eps = jax.random.normal(k_z, (n, z_dim), jnp.float32)
-            z = agg_mean + jnp.sqrt(agg_var) * eps
+            z = expost_prior_sample(k_z, prior_moments, n, z_dim)
             diag = {}
         else:
             z, diag = sample_prior(k_z, n, z_dim, d_apply=d_apply,

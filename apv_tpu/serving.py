@@ -50,11 +50,13 @@ def _sampler_fn(cfg: Config, params, d_params, refine_steps: int = 0,
         # is exported with mode="sample".
         k_z, k_x = jax.random.split(jax.random.PRNGKey(seed))
         if prior_moments is not None:
-            # ex-post aggregate-posterior prior, moments baked in as
-            # constants at export time (the artifact sees no data)
-            agg_mean, agg_var = prior_moments
-            z = agg_mean + jnp.sqrt(agg_var) * jax.random.normal(
-                k_z, (cfg.eval.batch_size, cfg.model.z_dim), jnp.float32)
+            # ex-post aggregate-posterior prior — diagonal Gaussian
+            # (mean, var) or GMM (log_w, means, vars) — baked in as
+            # constants at export time (the artifact sees no data);
+            # sampling/run.expost_prior_sample owns the arity convention
+            from apv_tpu.sampling.run import expost_prior_sample
+            z = expost_prior_sample(k_z, prior_moments,
+                                    cfg.eval.batch_size, cfg.model.z_dim)
         elif use_adv:
             z = sample_prior(k_z, cfg.eval.batch_size, cfg.model.z_dim,
                              d_apply=lambda dp, zz: disc.apply(

@@ -190,6 +190,111 @@ def test_expost_prior_moments_and_draws():
                          prior_moments=(agg_mean, agg_var), refine_steps=3)
 
 
+def test_fit_gmm_em_recovers_mixture():
+    """EM on samples from a known well-separated 3-component diagonal GMM
+    recovers the weights, means, and variances (up to component
+    permutation)."""
+    from apv_tpu.sampling.run import fit_gmm_em
+
+    true_w = np.array([0.5, 0.3, 0.2])
+    true_mu = np.array([[-6.0, 0.0], [6.0, 6.0], [6.0, -6.0]])
+    true_var = np.array([[0.5, 1.0], [1.0, 0.25], [0.25, 0.5]])
+    rng = np.random.default_rng(0)
+    n = 6000
+    ids = rng.choice(3, n, p=true_w)
+    z = true_mu[ids] + np.sqrt(true_var[ids]) * rng.standard_normal((n, 2))
+
+    log_w, mu, var = fit_gmm_em(jax.random.PRNGKey(3),
+                                jnp.asarray(z, jnp.float32), 3, iters=100)
+    w, mu, var = np.exp(np.asarray(log_w)), np.asarray(mu), np.asarray(var)
+    # match fitted components to true ones by nearest mean
+    perm = [int(np.argmin(np.sum((mu - m) ** 2, axis=1))) for m in true_mu]
+    assert sorted(perm) == [0, 1, 2], "components collapsed"
+    np.testing.assert_allclose(w[perm], true_w, atol=0.03)
+    np.testing.assert_allclose(mu[perm], true_mu, atol=0.15)
+    np.testing.assert_allclose(var[perm], true_var, rtol=0.25)
+
+    import pytest
+    with pytest.raises(ValueError, match="cannot fit"):
+        fit_gmm_em(jax.random.PRNGKey(0), jnp.zeros((4, 2)), 5)
+
+
+def test_expost_prior_sample_arity():
+    """The draw-side owner handles both ex-post representations: Gaussian
+    moments reproduce (mean, var); GMM draws reproduce the mixture's
+    analytic moments E[z] = Σ w μ, Var = Σ w (v + μ²) − E[z]²."""
+    from apv_tpu.sampling.run import expost_prior_sample
+
+    key = jax.random.PRNGKey(0)
+    mean, var = jnp.asarray([1.0, -2.0]), jnp.asarray([4.0, 0.25])
+    z = np.asarray(expost_prior_sample(key, (mean, var), 40000, 2))
+    np.testing.assert_allclose(z.mean(0), mean, atol=0.05)
+    np.testing.assert_allclose(z.var(0), var, rtol=0.05)
+
+    log_w = jnp.log(jnp.asarray([0.7, 0.3]))
+    mus = jnp.asarray([[0.0, 0.0], [4.0, -4.0]])
+    vs = jnp.asarray([[1.0, 1.0], [0.25, 4.0]])
+    z = np.asarray(expost_prior_sample(key, (log_w, mus, vs), 60000, 2))
+    w = np.asarray(jnp.exp(log_w))[:, None]
+    want_mean = (w * mus).sum(0)
+    want_var = (w * (np.asarray(vs) + np.asarray(mus) ** 2)).sum(0) \
+        - want_mean ** 2
+    np.testing.assert_allclose(z.mean(0), want_mean, atol=0.05)
+    np.testing.assert_allclose(z.var(0), want_var, rtol=0.05)
+
+
+def test_expost_gmm_prior_end_to_end():
+    """Fit on a tiny model + decode: the GMM fit has sane shapes, weights
+    normalize, K=1 matches the law-of-total-variance Gaussian fit, and
+    generate_samples decodes from the 3-tuple."""
+    from apv_tpu.models import build_model
+    from apv_tpu.sampling.run import (expost_prior_gmm,
+                                      expost_prior_moments,
+                                      generate_samples)
+    from apv_tpu.training.step import make_train_fns
+
+    cfg = tiny_config("mnist_vae")
+    fns = make_train_fns(cfg)
+    state = fns.init_fn(jax.random.PRNGKey(0))
+    model = build_model(cfg.model)
+    x = jax.random.uniform(jax.random.PRNGKey(1),
+                           (64,) + tuple(cfg.model.image_shape))
+
+    log_w, mus, vs = expost_prior_gmm(model, state.params, x,
+                                      jax.random.PRNGKey(2), k=4)
+    zd = cfg.model.z_dim
+    assert log_w.shape == (4,) and mus.shape == (4, zd) and vs.shape == (4, zd)
+    np.testing.assert_allclose(float(jnp.exp(log_w).sum()), 1.0, rtol=1e-4)
+    assert bool(jnp.all(vs > 0))
+
+    # K=1: EM over posterior samples ≈ the exact total-variance moments
+    log_w1, mu1, v1 = expost_prior_gmm(model, state.params, x,
+                                       jax.random.PRNGKey(2), k=1,
+                                       draws_per_x=8)
+    agg_mean, agg_var = expost_prior_moments(model, state.params, x)
+    np.testing.assert_allclose(float(log_w1[0]), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mu1[0]), np.asarray(agg_mean),
+                               atol=0.1)
+    np.testing.assert_allclose(np.asarray(v1[0]), np.asarray(agg_var),
+                               rtol=0.35, atol=0.05)
+
+    imgs = generate_samples(model, state.params, jax.random.PRNGKey(3),
+                            16, zd, cfg.model.likelihood, 1,
+                            prior_moments=(log_w, mus, vs))
+    assert imgs.shape == (16,) + tuple(cfg.model.image_shape)
+
+
+def test_sample_api_expost_gmm(tmp_path):
+    import apv_tpu
+
+    cfg = tiny_config("mnist_advprior", tmp_dir=str(tmp_path), **{
+        "train.steps": 1, "train.eval_every": 0, "train.batch_size": 8,
+        "train.checkpoint_every": 1, "data.synthetic_size": 64})
+    apv_tpu.train(cfg)
+    imgs = apv_tpu.sample(cfg, n=8, prior="expost_gmm", gmm_k=3)
+    assert imgs.shape == (8,) + tuple(cfg.model.image_shape)
+
+
 def test_sample_api_expost_prior(tmp_path):
     import apv_tpu
 

@@ -98,6 +98,32 @@ def test_sampler_export_expost_prior(tmp_path):
                                refine_steps=3, prior_moments=moments)
 
 
+def test_sampler_export_expost_gmm_prior(tmp_path):
+    """A 3-tuple (log_w, means, vars) ex-post GMM bakes in as constants:
+    the artifact runs deterministically and differs from the Gaussian
+    ex-post artifact over the same decoder."""
+    cfg = tiny_config("mnist_vae", **{"eval.batch_size": 4})
+    state = _state(cfg)
+    zd = cfg.model.z_dim
+    gauss = (jnp.zeros((zd,)), jnp.ones((zd,)))
+    gmm = (jnp.log(jnp.asarray([0.6, 0.4])),
+           jnp.stack([jnp.full((zd,), -3.0), jnp.full((zd,), 3.0)]),
+           jnp.stack([jnp.full((zd,), 0.5), jnp.full((zd,), 2.0)]))
+    p_g = serving.export_sampler(cfg, state.params, None,
+                                 tmp_path / "g.stablehlo",
+                                 prior_moments=gauss)
+    p_m = serving.export_sampler(cfg, state.params, None,
+                                 tmp_path / "m.stablehlo",
+                                 prior_moments=gmm)
+    a = np.asarray(serving.load_exported(p_g).call(jnp.int32(7)))
+    b = np.asarray(serving.load_exported(p_m).call(jnp.int32(7)))
+    assert b.shape == (4, 28, 28, 1)
+    assert np.all((b >= 0) & (b <= 1))
+    assert not np.array_equal(a, b)
+    np.testing.assert_array_equal(
+        np.asarray(serving.load_exported(p_m).call(jnp.int32(7))), b)
+
+
 def test_sampler_int8_quantized_export(tmp_path):
     """int8 weight-only quantization: artifact shrinks ~4x on the baked
     weights and the decoded images stay close to the f32 artifact's."""
