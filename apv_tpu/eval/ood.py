@@ -21,6 +21,12 @@ exact ratio is [I]-level, SURVEY.md §3.5, so all plausible readings ship):
 * ``pixel_d``: the biadversarial pixel discriminator's realness logit
   D_x(x) — one conv forward per image, no IWAE scan (biadversarial
   checkpoints only; eval/run.pixel_d_scores).
+* ``complexity``: log p(x) + L(x), the input-complexity-adjusted
+  likelihood (Serrà et al. 2020, arXiv 1909.11480): L(x) is a generic
+  lossless compressor's codelength in nats (PNG here), so the score is a
+  likelihood-ratio test of the model against a universal compressor —
+  the de-confounded form of the raw-likelihood score (raw NLL tracks
+  image complexity, which is what inverts CIFAR↔SVHN).
 
 ``d_params`` throughout this module is the checkpoint's FULL d_params
 tree (biadversarial: {'latent', 'pixel'}); likelihood scores route the
@@ -56,6 +62,42 @@ def _per_sample(cfg: Config, params, d_params, dataset, *, use_adv, k, mesh,
                         max_examples=cfg.ood.max_examples,
                         use_adversarial_prior=use_adv, per_sample=True,
                         seed=seed, batch_size=cfg.ood.batch_size)["per_sample"]
+
+
+def complexity_nats(cfg: Config, dataset: str) -> np.ndarray:
+    """Per-image codelength L(x) in nats under a generic lossless
+    compressor (PNG: deflate + 2-D scanline filters) — the complexity
+    estimate of the ``complexity`` score.
+
+    Encodes exactly the discrete pixel levels the model's likelihood
+    scores (binarized configs: the {0,1} test binarization as {0,255}
+    grayscale; continuous configs: the raw uint8 levels), so model
+    codelength and compressor codelength price the same message. Host
+    side and device-free by construction.
+    """
+    import io
+
+    from PIL import Image
+
+    from apv_tpu.eval.run import eval_arrays
+
+    imgs = eval_arrays(cfg, dataset,
+                       max_examples=cfg.ood.max_examples)["image"]
+    if cfg.data.binarize:
+        px = np.asarray(imgs, np.uint8) * 255
+    elif imgs.dtype == np.uint8:
+        px = imgs
+    else:
+        px = np.clip(np.asarray(imgs, np.float32) * 255.0 + 0.5,
+                     0, 255).astype(np.uint8)
+    out = np.empty(len(px), np.float64)
+    ln2 = float(np.log(2.0))
+    for i, im in enumerate(px):
+        arr = im[..., 0] if im.shape[-1] == 1 else im
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG", optimize=True)
+        out[i] = 8.0 * buf.getbuffer().nbytes * ln2
+    return out
 
 
 def _align_to(primary: Config, other: Config) -> Config:
@@ -117,12 +159,19 @@ def ood_scores(cfg: Config, params, d_params=None, *, mesh=None,
                             use_adv=cfg_b.adversarial.enabled, k=k,
                             mesh=mesh, seed=seed)
             return a - b
+        if score == "complexity":
+            ll = _per_sample(cfg, params, d_lat, name,
+                             use_adv=cfg.adversarial.enabled, k=k,
+                             mesh=mesh, seed=seed)
+            # eval_arrays order == scoring order; the batch loop may drop
+            # a remainder, so align the codelengths to the scored prefix
+            return ll + complexity_nats(cfg, name)[:len(ll)]
         if score not in ("iwae", "elbo"):
             # An unrecognized name must not silently fall through to the
             # expensive IWAE scorer under the typo'd label.
             raise ValueError(
                 f"unknown ood.score {score!r} (iwae | elbo | prior_ratio "
-                "| model_ratio | pixel_d)")
+                "| model_ratio | pixel_d | complexity)")
         return _per_sample(cfg, params, d_lat, name,
                            use_adv=cfg.adversarial.enabled, k=k, mesh=mesh,
                            seed=seed)

@@ -198,6 +198,10 @@ class OODConfig:
     # 'pixel_d': the biadversarial pixel discriminator's realness logit
     #   D_x(x) — one conv forward per image, no IWAE (biadversarial
     #   checkpoints only).
+    # 'complexity': log p(x) + PNG codelength (nats) — the input-
+    #   complexity-adjusted likelihood (Serrà et al. 2020), a likelihood
+    #   ratio against a universal compressor; works on ANY checkpoint
+    #   (no adversarial prior or second model needed).
     score: str = "prior_ratio"
     iwae_k: int = 100
     iwae_chunk: int = 50

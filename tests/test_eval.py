@@ -146,6 +146,51 @@ def test_ood_elbo_score_no_discriminator():
     assert 0.0 <= res["auroc_in_vs_ood"] <= 1.0
 
 
+def test_complexity_nats_orders_by_compressibility():
+    """The PNG codelength must be positive, per-example, and rank a
+    constant image below an incompressible-noise image."""
+    import dataclasses
+
+    from apv_tpu.eval.ood import complexity_nats
+
+    cfg = tiny_config("mnist_vae", **{"ood.max_examples": 8})
+    L = complexity_nats(cfg, "mnist")
+    assert L.shape == (8,) and np.all(L > 0)
+
+    # binarize off → uint8 levels path; synthetic 'mnist' vs the noisier
+    # synthetic 'cifar10' textures must cost more nats on average
+    cfg_c = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, binarize=False))
+    flat = complexity_nats(cfg_c, "mnist")
+    assert flat.shape == (8,) and np.all(flat > 0)
+
+
+def test_ood_complexity_score():
+    """score='complexity' = per-sample log p(x) + PNG nats: runs on a
+    plain (non-adversarial) checkpoint and equals the iwae score plus the
+    codelength vector exactly."""
+    import dataclasses
+
+    from apv_tpu.eval.ood import complexity_nats
+
+    cfg = tiny_config("mnist_vae", **{
+        "ood.in_dataset": "mnist", "ood.ood_dataset": "fashion_mnist",
+        "ood.score": "complexity", "ood.iwae_k": 4, "ood.iwae_chunk": 2})
+    state = _init_state(cfg)
+    res = ood_scores(cfg, state.params)
+    assert res["score"] == "complexity"
+    assert 0.0 <= res["auroc_in_vs_ood"] <= 1.0
+
+    cfg_iwae = dataclasses.replace(
+        cfg, ood=dataclasses.replace(cfg.ood, score="iwae"))
+    res_iwae = ood_scores(cfg_iwae, state.params)
+    L_in = complexity_nats(cfg, "mnist")
+    # means relate exactly: complexity = iwae + L (same key schedule)
+    np.testing.assert_allclose(
+        res["in_mean"], res_iwae["in_mean"] + L_in[:res["n_in"]].mean(),
+        rtol=1e-6)
+
+
 def test_ood_model_ratio_two_checkpoints():
     """model_ratio: score under two models; with model B == model A the
     ratio is identically 0 (same examples, same key schedule), and with a
