@@ -145,19 +145,34 @@ def evaluate(config: str | Config = "iwae_eval", *,
              overrides: list[str] | None = None,
              checkpoint_dir: str | None = None, dataset: str | None = None,
              k: int | None = None, per_sample: bool = False,
-             activity: bool = True) -> dict:
+             activity: bool = True, prior: str = "model",
+             gmm_k: int = 10) -> dict:
     """IWAE-k test NLL + bits/dim for a trained checkpoint.
 
     ``activity=False`` skips the active-units diagnostic (a second full
     encoder pass over the test split) — for sweeps that only need NLL.
+
+    ``prior='expost'``/``'expost_gmm'`` scores under an ex-post prior
+    fitted to the TRAIN split (RAE lineage, arXiv 1903.12436 §4) instead
+    of the checkpoint's own prior — an exact closed-form density (no MC
+    log-partition term), and the honest NLL counterpart of the
+    generation-side ``sample --prior expost*`` modes.
     """
     from apv_tpu.eval.run import evaluate_nll, posterior_activity
+    from apv_tpu.models import build_model
 
+    if prior not in ("model", "expost", "expost_gmm"):
+        raise ValueError(f"unknown prior {prior!r} "
+                         "(model|expost|expost_gmm)")
     cfg = _adopt_checkpoint_arch(_resolve(config, overrides), overrides,
                                  checkpoint_dir)
     state = _restore_state(cfg, checkpoint_dir)
+    prior_moments = _expost_prior(cfg, build_model(cfg.model),
+                                  _p(state, cfg), prior, gmm_k=gmm_k,
+                                  split="train")
     result = evaluate_nll(cfg, _p(state, cfg), _d(state, cfg),
-                          dataset=dataset, k=k, per_sample=per_sample)
+                          dataset=dataset, k=k, per_sample=per_sample,
+                          prior_moments=prior_moments)
     if activity:
         # Posterior-collapse diagnostic (one cheap encoder pass next to the
         # IWAE-k sweep): active units per the IWAE paper's Cov_x(E_q[z]) test.
@@ -239,17 +254,32 @@ def sample(config: str | Config = "mnist_vae", *,
 
 def _expost_prior(cfg: Config, model, params, prior: str, *,
                   gmm_k: int = 10, seed: int = 0,
-                  max_examples: int = 2048):
-    """Fit the requested ex-post generation prior over the test split
-    (preprocessed the way training saw it): ``(mean, var)`` for 'expost',
-    ``(log_w, means, vars)`` for 'expost_gmm', None for model priors."""
+                  max_examples: int = 2048, split: str = "test"):
+    """Fit the requested ex-post prior (preprocessed the way training
+    saw it): ``(mean, var)`` for 'expost', ``(log_w, means, vars)`` for
+    'expost_gmm', None for model priors.
+
+    ``split``: generation-side callers fit the test split (the recorded
+    A/B protocol — the comparison target is the test set either way);
+    the NLL path fits the TRAIN split, since fitting a prior on the very
+    examples it is then scored on would leak."""
     if prior not in ("expost", "expost_gmm"):
         return None
     from apv_tpu.eval.run import _prep_eval_batch, eval_arrays
     from apv_tpu.sampling.run import expost_prior_gmm, expost_prior_moments
 
-    arrays = eval_arrays(cfg, None, max_examples=max_examples)
-    x_in, _ = _prep_eval_batch(cfg, arrays["image"][:max_examples])
+    if split == "test":
+        images = eval_arrays(cfg, None, max_examples=max_examples)["image"]
+    else:
+        from apv_tpu.data import load_dataset, static_binarize
+        images, _ = load_dataset(cfg.data.dataset, "train",
+                                 data_dir=cfg.data.data_dir,
+                                 synthetic_size=cfg.data.synthetic_size)
+        if cfg.data.binarize:
+            # the training loop's binarization rule (training/loop.py)
+            images = static_binarize(images, seed=cfg.train.seed)
+        images = images[:max_examples]
+    x_in, _ = _prep_eval_batch(cfg, images[:max_examples])
     if prior == "expost":
         return expost_prior_moments(model, params, x_in)
     return expost_prior_gmm(model, params, x_in,

@@ -50,6 +50,15 @@ def main(argv: list[str] | None = None) -> int:
     _add_common(p_eval, "iwae_eval")
     p_eval.add_argument("--dataset", default=None)
     p_eval.add_argument("--k", type=int, default=None)
+    p_eval.add_argument("--prior", choices=("model", "expost",
+                                            "expost_gmm"),
+                        default="model",
+                        help="score under the checkpoint's own prior, or "
+                             "an ex-post (GMM) prior fitted to the train "
+                             "split — exact closed-form density, no MC "
+                             "log-partition term")
+    p_eval.add_argument("--gmm-k", type=int, default=10, metavar="K",
+                        help="components for --prior expost_gmm")
 
     p_sample = sub.add_parser("sample", help="decode prior samples to a grid")
     _add_common(p_sample, "mnist_vae")
@@ -181,7 +190,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.command == "evaluate":
         result = api.evaluate(args.preset, overrides=args.overrides,
                               checkpoint_dir=args.checkpoint_dir,
-                              dataset=args.dataset, k=args.k)
+                              dataset=args.dataset, k=args.k,
+                              prior=args.prior, gmm_k=args.gmm_k)
         print(json.dumps(result, indent=2))
     elif args.command == "sample":
         if args.visualize:

@@ -55,6 +55,22 @@ def standard_gaussian_logpdf(z: jax.Array) -> jax.Array:
     return -0.5 * (_LOG_2PI + z * z)
 
 
+def diag_gmm_logpdf(z: jax.Array, log_w: jax.Array, means: jax.Array,
+                    variances: jax.Array) -> jax.Array:
+    """log density of a diagonal-covariance Gaussian mixture over the last
+    axis: ``z [..., Z]``, ``log_w [K]``, ``means/variances [K, Z]`` →
+    ``[...]``. Exact (a logsumexp over K component log-densities) — the
+    scorable counterpart of the ex-post GMM generation prior
+    (sampling/run.fit_gmm_em): unlike the adversarially-shaped prior, no
+    MC log-partition estimate is needed."""
+    from jax.scipy.special import logsumexp
+
+    z = z.astype(jnp.float32)[..., None, :]                  # [..., 1, Z]
+    comp = -0.5 * jnp.sum((z - means) ** 2 / variances
+                          + _LOG_2PI + jnp.log(variances), axis=-1)
+    return logsumexp(log_w + comp, axis=-1)
+
+
 def gaussian_kl_standard(mean: jax.Array, logvar: jax.Array) -> jax.Array:
     """Elementwise analytic KL( N(mean, exp(logvar)) || N(0, 1) ).
 

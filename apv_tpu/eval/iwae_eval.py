@@ -37,12 +37,23 @@ def sample_posterior_chunk(chunk_key, mean, logvar, chunk: int):
 
 
 def make_logw_chunk_fn(decode: Callable, likelihood: str, chunk: int,
-                       d_apply: Callable | None = None) -> Callable:
+                       d_apply: Callable | None = None,
+                       prior_logpdf: Callable | None = None) -> Callable:
     """One-chunk log importance weights [chunk, B] — the ONE place the
     IWAE estimator math lives. Shared by the unsharded scan
     (``make_iwae_fn``) and the k-sharded shard_map (``eval/sharded.py``)
     so a likelihood/prior-correction change cannot silently diverge the
-    two paths."""
+    two paths.
+
+    ``prior_logpdf`` (``z [..., Z] → [...]``, exact closed form) replaces
+    the standard-Gaussian prior term entirely — the ex-post fitted priors
+    (sampling/run.expost_prior_logpdf). Mutually exclusive with
+    ``d_apply``: the shaped prior is a CORRECTION on top of p0, an
+    ex-post prior is a different p."""
+    if d_apply is not None and prior_logpdf is not None:
+        raise ValueError("d_apply (shaped prior) and prior_logpdf (ex-post "
+                         "prior) are mutually exclusive — scoring both "
+                         "would multiply two priors into the weights")
 
     def logw_chunk(params, d_params, mean, logvar, x_target, chunk_key,
                    log_z):
@@ -54,7 +65,10 @@ def make_logw_chunk_fn(decode: Callable, likelihood: str, chunk: int,
         recon = recon_log_likelihood(
             xt.reshape((chunk * b,) + x_target.shape[1:]), out,
             likelihood).reshape(chunk, b)
-        logp0 = jnp.sum(D.standard_gaussian_logpdf(z), axis=-1)
+        if prior_logpdf is not None:
+            logp0 = prior_logpdf(z)
+        else:
+            logp0 = jnp.sum(D.standard_gaussian_logpdf(z), axis=-1)
         logq = jnp.sum(D.gaussian_logpdf(z, mean, logvar), axis=-1)
         logw = recon + logp0 - logq
         if d_apply is not None:
@@ -65,12 +79,14 @@ def make_logw_chunk_fn(decode: Callable, likelihood: str, chunk: int,
 
 
 def make_iwae_fn(model, likelihood: str, k: int, chunk: int,
-                 d_apply: Callable | None = None) -> Callable:
+                 d_apply: Callable | None = None,
+                 prior_logpdf: Callable | None = None) -> Callable:
     """Build ``fn(params, d_params, x_in, x_target, key, log_z) -> [B]``.
 
     ``d_apply`` non-None switches the prior to the adversarially-shaped
     p*(z) ∝ p0(z)·e^{D(z)} (pass the matching ``log_z``; 0.0 gives scores
-    up to the constant — fine for ratios/AUROC).
+    up to the constant — fine for ratios/AUROC). ``prior_logpdf`` swaps
+    in an exact ex-post prior instead (make_logw_chunk_fn).
     """
 
     def encode(params, x):
@@ -79,7 +95,8 @@ def make_iwae_fn(model, likelihood: str, k: int, chunk: int,
     def decode(params, z):
         return model.apply({"params": params}, z, method="decode")
 
-    logw_chunk = make_logw_chunk_fn(decode, likelihood, chunk, d_apply)
+    logw_chunk = make_logw_chunk_fn(decode, likelihood, chunk, d_apply,
+                                    prior_logpdf)
 
     def iwae_fn(params, d_params, x_in, x_target, key, log_z=0.0):
         mean, logvar = encode(params, x_in)          # [B, Z], once

@@ -220,12 +220,18 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
                  chunk: int | None = None, max_examples: int | None = None,
                  use_adversarial_prior: bool | None = None,
                  per_sample: bool = False, seed: int = 0,
-                 batch_size: int | None = None):
+                 batch_size: int | None = None, prior_moments=None):
     """Mean test NLL (nats) + bits/dim; optionally per-sample scores (OOD).
 
     ``use_adversarial_prior`` defaults to the config's adversarial.enabled:
     the learned prior p*(z) ∝ p0(z)·e^{D(z)} is scored with an MC-estimated
     log-partition so the NLL is a proper (estimated) likelihood.
+
+    ``prior_moments`` (a fitted ex-post prior — sampling/run tuple-arity
+    convention) scores under that EXACT closed-form prior instead: no
+    log-partition estimate, no error bar. Forces the adversarial
+    correction off (the two priors are mutually exclusive readings of
+    log p(z)); passing ``use_adversarial_prior=True`` alongside raises.
     """
     if cfg.eval.k_shards > 1 and mesh is not None:
         # The k-sharded path builds its own 2-D (data, k) mesh below; a
@@ -269,6 +275,19 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
         chunk = eff
     use_adv = (cfg.adversarial.enabled if use_adversarial_prior is None
                else use_adversarial_prior)
+    prior_logpdf = None
+    if prior_moments is not None:
+        if use_adversarial_prior:
+            raise ValueError(
+                "prior_moments (ex-post prior) and use_adversarial_prior "
+                "are mutually exclusive — each is a complete reading of "
+                "log p(z)")
+        use_adv = False
+        from apv_tpu.sampling.run import expost_prior_logpdf
+        prior_moments = jax.device_put(
+            tuple(jnp.asarray(m) for m in prior_moments),
+            replicated(mesh))
+        prior_logpdf = expost_prior_logpdf(prior_moments)
 
     model = build_model(cfg.model)
     d_apply = None
@@ -292,10 +311,11 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
         mesh = make_mesh_2d(n_dev // n_k, n_k)
         iwae_fn = make_sharded_iwae_fn(model, cfg.model.likelihood, k=k,
                                        chunk=chunk, mesh=mesh,
-                                       d_apply=d_apply)
+                                       d_apply=d_apply,
+                                       prior_logpdf=prior_logpdf)
     else:
         iwae_fn = make_iwae_fn(model, cfg.model.likelihood, k=k, chunk=chunk,
-                               d_apply=d_apply)
+                               d_apply=d_apply, prior_logpdf=prior_logpdf)
     jit_iwae = jax.jit(iwae_fn)
 
     arrays = eval_arrays(cfg, dataset,
@@ -342,6 +362,11 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
         # contributed by log Z (bits/dim moves by se/(D·ln2) per 1σ)
         "log_partition_se": log_z_se,
         "adversarial_prior": bool(use_adv),
+        # 'model' = the checkpoint's own prior (N(0,I) or shaped);
+        # ex-post priors are exact, so log_partition(_se) above stay 0
+        "prior": ("model" if prior_moments is None
+                  else ("expost" if len(prior_moments) == 2
+                        else "expost_gmm")),
     }
     if per_sample:
         result["per_sample"] = scores

@@ -50,12 +50,16 @@ def make_mesh_2d(n_data: int, n_k: int, devices=None) -> Mesh:
 
 
 def make_sharded_iwae_fn(model, likelihood: str, k: int, chunk: int,
-                         mesh: Mesh, d_apply: Callable | None = None):
+                         mesh: Mesh, d_apply: Callable | None = None,
+                         prior_logpdf: Callable | None = None):
     """Build ``fn(params, d_params, x_in, x_target, key, log_z) -> [B]``.
 
     ``k`` is the TOTAL sample count; each of the mesh's n_k k-shards runs
     k/n_k samples chunk-by-chunk. With n_k == 1 this reduces exactly to the
-    unsharded estimator (same key schedule — tested).
+    unsharded estimator (same key schedule — tested). ``prior_logpdf``
+    swaps in an exact ex-post prior (iwae_eval.make_logw_chunk_fn) — its
+    parameters close over as replicated constants, so the shard_map body
+    needs no extra operands.
     """
     n_k = mesh.shape[K_AXIS]
     if k % (n_k * chunk) != 0:
@@ -70,7 +74,8 @@ def make_sharded_iwae_fn(model, likelihood: str, k: int, chunk: int,
         return model.apply({"params": params}, z, method="decode")
 
     from apv_tpu.eval.iwae_eval import make_logw_chunk_fn
-    local_logw_chunk = make_logw_chunk_fn(decode, likelihood, chunk, d_apply)
+    local_logw_chunk = make_logw_chunk_fn(decode, likelihood, chunk, d_apply,
+                                          prior_logpdf)
     n_data = mesh.shape[DATA_AXIS]
 
     def shard_fn(params, d_params, x_in, x_target, key, log_z):

@@ -284,6 +284,26 @@ def expost_prior_sample(key: jax.Array, prior_moments, n: int,
     return means[ids] + jnp.sqrt(variances[ids]) * eps
 
 
+def expost_prior_logpdf(prior_moments):
+    """``z [..., Z] → log p(z) [...]`` for a fitted ex-post prior — the
+    density counterpart of :func:`expost_prior_sample` (same tuple-arity
+    convention). Both forms are exact closed-form densities, so an
+    ex-post NLL needs no MC log-partition estimate."""
+    from apv_tpu.core.distributions import (diag_gmm_logpdf,
+                                            gaussian_logpdf)
+
+    if len(prior_moments) == 2:
+        agg_mean, agg_var = prior_moments
+
+        def logpdf(z):
+            return jnp.sum(gaussian_logpdf(z, agg_mean, jnp.log(agg_var)),
+                           axis=-1)
+
+        return logpdf
+    log_w, means, variances = prior_moments
+    return lambda z: diag_gmm_logpdf(z, log_w, means, variances)
+
+
 @functools.lru_cache(maxsize=32)
 def _sample_fn(model, n: int, z_dim: int, likelihood: str,
                image_channels: int, mode: str, d_apply,

@@ -43,6 +43,90 @@ def test_evaluate_nll_adversarial_disc_logistic():
     assert np.isfinite(res["log_partition"])
 
 
+def test_diag_gmm_logpdf_matches_scipy():
+    """K-component diagonal GMM log-density vs a scipy reference, and the
+    K=1 w=1 degenerate case vs the plain Gaussian logpdf."""
+    from scipy.stats import norm
+
+    from apv_tpu.core.distributions import (diag_gmm_logpdf,
+                                            gaussian_logpdf)
+
+    rng = np.random.default_rng(0)
+    z = rng.normal(0.0, 3.0, (7, 5, 3)).astype(np.float32)
+    w = np.array([0.6, 0.3, 0.1])
+    mus = rng.normal(0.0, 2.0, (3, 3)).astype(np.float32)
+    vs = rng.uniform(0.2, 2.0, (3, 3)).astype(np.float32)
+
+    got = np.asarray(diag_gmm_logpdf(jnp.asarray(z), jnp.log(jnp.asarray(w)),
+                                     jnp.asarray(mus), jnp.asarray(vs)))
+    comp = np.stack([norm.logpdf(z, mus[i], np.sqrt(vs[i])).sum(-1)
+                     for i in range(3)], axis=-1)
+    want = np.log(np.exp(comp + np.log(w)).sum(-1))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+    one = np.asarray(diag_gmm_logpdf(jnp.asarray(z), jnp.zeros((1,)),
+                                     jnp.asarray(mus[:1]),
+                                     jnp.asarray(vs[:1])))
+    plain = np.asarray(gaussian_logpdf(jnp.asarray(z), jnp.asarray(mus[0]),
+                                       jnp.log(jnp.asarray(vs[0]))).sum(-1))
+    np.testing.assert_allclose(one, plain, rtol=2e-5, atol=1e-5)
+
+
+def test_evaluate_nll_expost_prior():
+    """An ex-post standard-Gaussian (mean 0, var 1) must reproduce the
+    standard-prior NLL EXACTLY (same key schedule, same estimator); a
+    shifted ex-post prior must differ; GMM arity threads through; and
+    combining with use_adversarial_prior raises."""
+    import pytest
+
+    cfg = tiny_config("mnist_vae")
+    state = _init_state(cfg)
+    zd = cfg.model.z_dim
+    base = evaluate_nll(cfg, state.params, k=8, chunk=4, max_examples=16)
+    std = evaluate_nll(cfg, state.params, k=8, chunk=4, max_examples=16,
+                       prior_moments=(jnp.zeros((zd,)), jnp.ones((zd,))))
+    np.testing.assert_allclose(std["nll_nats"], base["nll_nats"], rtol=1e-6)
+    assert std["prior"] == "expost" and std["log_partition"] == 0.0
+
+    shifted = evaluate_nll(cfg, state.params, k=8, chunk=4, max_examples=16,
+                           prior_moments=(jnp.full((zd,), 2.0),
+                                          jnp.ones((zd,))))
+    assert abs(shifted["nll_nats"] - base["nll_nats"]) > 1e-3
+
+    gmm = evaluate_nll(
+        cfg, state.params, k=8, chunk=4, max_examples=16,
+        prior_moments=(jnp.zeros((1,)), jnp.zeros((1, zd)),
+                       jnp.ones((1, zd))))
+    np.testing.assert_allclose(gmm["nll_nats"], base["nll_nats"], rtol=1e-6)
+    assert gmm["prior"] == "expost_gmm"
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        evaluate_nll(cfg, state.params, k=8, chunk=4, max_examples=16,
+                     use_adversarial_prior=True,
+                     prior_moments=(jnp.zeros((zd,)), jnp.ones((zd,))))
+
+
+def test_evaluate_api_expost_gmm(tmp_path):
+    """End-to-end: apv evaluate --prior expost_gmm on a tiny checkpoint
+    fits the train split and reports finite NLL under the exact prior."""
+    import apv_tpu
+
+    cfg = tiny_config("mnist_advprior", tmp_dir=str(tmp_path), **{
+        "train.steps": 1, "train.eval_every": 0, "train.batch_size": 8,
+        "train.checkpoint_every": 1, "data.synthetic_size": 64,
+        "eval.iwae_k": 4, "eval.iwae_chunk": 2, "eval.max_examples": 16})
+    apv_tpu.train(cfg)
+    res = apv_tpu.evaluate(cfg, prior="expost_gmm", gmm_k=2,
+                           activity=False)
+    assert np.isfinite(res["nll_nats"])
+    assert res["prior"] == "expost_gmm"
+    assert res["adversarial_prior"] is False
+
+    import pytest
+    with pytest.raises(ValueError, match="model\\|expost\\|expost_gmm"):
+        apv_tpu.evaluate(cfg, prior="bogus")
+
+
 def test_active_units_streaming_moments():
     """IWAE-paper active-units rule on crafted means: a unit whose
     posterior mean varies across examples is active, a constant one is

@@ -69,6 +69,36 @@ def test_ksharded_with_adversarial_prior():
     assert np.all(np.isfinite(ll))
 
 
+def test_ksharded_expost_prior_matches_unsharded():
+    """The ex-post prior threads through the shard_map body as closed-over
+    replicated constants: n_k=4 equals n_k=1 exactly, and a GMM ex-post
+    prior equivalent to N(0,I) (K=1, zero mean, unit var) reproduces the
+    standard-prior estimator."""
+    from apv_tpu.sampling.run import expost_prior_logpdf
+
+    cfg, model, params, x = _setup()
+    zd = cfg.model.z_dim
+    key = jax.random.PRNGKey(11)
+    gmm = (jnp.zeros((1,)), jnp.zeros((1, zd)), jnp.ones((1, zd)))
+    logpdf = expost_prior_logpdf(gmm)
+
+    mesh_1 = make_mesh_2d(1, 1, jax.devices()[:1])
+    base = make_sharded_iwae_fn(model, "bernoulli", k=16, chunk=4,
+                                mesh=mesh_1)
+    ll_base = np.asarray(jax.jit(base)(params, {}, x, x, key, 0.0))
+
+    f1 = make_sharded_iwae_fn(model, "bernoulli", k=16, chunk=4,
+                              mesh=mesh_1, prior_logpdf=logpdf)
+    ll_1 = np.asarray(jax.jit(f1)(params, {}, x, x, key, 0.0))
+    np.testing.assert_allclose(ll_1, ll_base, rtol=1e-5, atol=1e-4)
+
+    mesh_4 = make_mesh_2d(1, 4, jax.devices()[:4])
+    f4 = make_sharded_iwae_fn(model, "bernoulli", k=16, chunk=4,
+                              mesh=mesh_4, prior_logpdf=logpdf)
+    ll_4 = np.asarray(jax.jit(f4)(params, {}, x, x, key, 0.0))
+    np.testing.assert_allclose(ll_4, ll_1, rtol=1e-5, atol=1e-4)
+
+
 def test_evaluate_nll_with_k_shards():
     """End-to-end evaluate path with the k-sharded estimator."""
     from apv_tpu.eval.run import evaluate_nll
