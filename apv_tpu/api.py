@@ -146,30 +146,31 @@ def evaluate(config: str | Config = "iwae_eval", *,
              checkpoint_dir: str | None = None, dataset: str | None = None,
              k: int | None = None, per_sample: bool = False,
              activity: bool = True, prior: str = "model",
-             gmm_k: int = 10) -> dict:
+             gmm_k: int = 10, flow_steps: int = 2000) -> dict:
     """IWAE-k test NLL + bits/dim for a trained checkpoint.
 
     ``activity=False`` skips the active-units diagnostic (a second full
     encoder pass over the test split) — for sweeps that only need NLL.
 
-    ``prior='expost'``/``'expost_gmm'`` scores under an ex-post prior
-    fitted to the TRAIN split (RAE lineage, arXiv 1903.12436 §4) instead
-    of the checkpoint's own prior — an exact closed-form density (no MC
-    log-partition term), and the honest NLL counterpart of the
-    generation-side ``sample --prior expost*`` modes.
+    ``prior='expost'``/``'expost_gmm'``/``'expost_flow'`` scores under an
+    ex-post prior fitted to the TRAIN split (RAE lineage, arXiv
+    1903.12436 §4) instead of the checkpoint's own prior — an exact
+    closed-form density (no MC log-partition term), and the honest NLL
+    counterpart of the generation-side ``sample --prior expost*`` modes.
+    ``flow_steps`` is the flow fit's MLE step count (core/flow.py).
     """
     from apv_tpu.eval.run import evaluate_nll, posterior_activity
     from apv_tpu.models import build_model
 
-    if prior not in ("model", "expost", "expost_gmm"):
+    if prior not in ("model", "expost", "expost_gmm", "expost_flow"):
         raise ValueError(f"unknown prior {prior!r} "
-                         "(model|expost|expost_gmm)")
+                         "(model|expost|expost_gmm|expost_flow)")
     cfg = _adopt_checkpoint_arch(_resolve(config, overrides), overrides,
                                  checkpoint_dir)
     state = _restore_state(cfg, checkpoint_dir)
     prior_moments = _expost_prior(cfg, build_model(cfg.model),
                                   _p(state, cfg), prior, gmm_k=gmm_k,
-                                  split="train")
+                                  flow_steps=flow_steps, split="train")
     result = evaluate_nll(cfg, _p(state, cfg), _d(state, cfg),
                           dataset=dataset, k=k, per_sample=per_sample,
                           prior_moments=prior_moments)
@@ -188,7 +189,8 @@ def sample(config: str | Config = "mnist_vae", *,
            checkpoint_dir: str | None = None, n: int = 64,
            mode: str = "mean", seed: int = 0,
            out_path: str | None = None, quality_n: int = 0,
-           refine: int = 0, prior: str = "auto", gmm_k: int = 10):
+           refine: int = 0, prior: str = "auto", gmm_k: int = 10,
+           flow_steps: int = 2000):
     """Decode n prior samples; writes a PNG grid, returns the images.
 
     ``quality_n > 0`` additionally computes generated-vs-real sample-quality
@@ -209,14 +211,17 @@ def sample(config: str | Config = "mnist_vae", *,
     `--visualize latent` and RESULTS.md 800k A/B); 'expost_gmm' EM-fits a
     ``gmm_k``-component diagonal GMM instead (RAE lineage, arXiv
     1903.12436 §4) — carries the aggregate posterior's heavy tails the
-    single Gaussian cannot.
+    single Gaussian cannot; 'expost_flow' MLE-fits a RealNVP flow
+    (core/flow.py, ``flow_steps`` fit steps) — the exact-density rung
+    above the GMM for tails/curvature neither parametric fit carries.
     """
     from apv_tpu.models import build_model, d_apply_fn, make_latent_d
     from apv_tpu.sampling import generate_samples, save_image_grid
 
-    if prior not in ("auto", "standard", "expost", "expost_gmm"):
+    if prior not in ("auto", "standard", "expost", "expost_gmm",
+                     "expost_flow"):
         raise ValueError(f"unknown prior {prior!r} "
-                         "(auto|standard|expost|expost_gmm)")
+                         "(auto|standard|expost|expost_gmm|expost_flow)")
     cfg = _adopt_checkpoint_arch(_resolve(config, overrides), overrides,
                                  checkpoint_dir)
     state = _restore_state(cfg, checkpoint_dir)
@@ -228,7 +233,8 @@ def sample(config: str | Config = "mnist_vae", *,
         d_apply = d_apply_fn(make_latent_d(cfg.adversarial))
         d_params = _d(state, cfg)
     prior_moments = _expost_prior(cfg, model, _p(state, cfg), prior,
-                                  gmm_k=gmm_k, seed=seed)
+                                  gmm_k=gmm_k, flow_steps=flow_steps,
+                                  seed=seed)
     images, diag = generate_samples(
         model, _p(state, cfg), jax.random.PRNGKey(seed),
         n, cfg.model.z_dim, cfg.model.likelihood,
@@ -253,20 +259,22 @@ def sample(config: str | Config = "mnist_vae", *,
 
 
 def _expost_prior(cfg: Config, model, params, prior: str, *,
-                  gmm_k: int = 10, seed: int = 0,
+                  gmm_k: int = 10, flow_steps: int = 2000, seed: int = 0,
                   max_examples: int = 2048, split: str = "test"):
     """Fit the requested ex-post prior (preprocessed the way training
     saw it): ``(mean, var)`` for 'expost', ``(log_w, means, vars)`` for
-    'expost_gmm', None for model priors.
+    'expost_gmm', a flow params dict for 'expost_flow', None for model
+    priors.
 
     ``split``: generation-side callers fit the test split (the recorded
     A/B protocol — the comparison target is the test set either way);
     the NLL path fits the TRAIN split, since fitting a prior on the very
     examples it is then scored on would leak."""
-    if prior not in ("expost", "expost_gmm"):
+    if prior not in ("expost", "expost_gmm", "expost_flow"):
         return None
     from apv_tpu.eval.run import _prep_eval_batch, eval_arrays
-    from apv_tpu.sampling.run import expost_prior_gmm, expost_prior_moments
+    from apv_tpu.sampling.run import (expost_prior_flow, expost_prior_gmm,
+                                      expost_prior_moments)
 
     if split == "test":
         images = eval_arrays(cfg, None, max_examples=max_examples)["image"]
@@ -282,6 +290,13 @@ def _expost_prior(cfg: Config, model, params, prior: str, *,
     x_in, _ = _prep_eval_batch(cfg, images[:max_examples])
     if prior == "expost":
         return expost_prior_moments(model, params, x_in)
+    if prior == "expost_flow":
+        flow = expost_prior_flow(model, params, x_in,
+                                 jax.random.PRNGKey(seed),
+                                 steps=flow_steps)
+        print(json.dumps({"expost_flow_fit_nll":
+                          float(flow["flow_nll"])}))
+        return flow
     return expost_prior_gmm(model, params, x_in,
                             jax.random.PRNGKey(seed), k=gmm_k)
 
@@ -376,21 +391,25 @@ def export_artifact(config: str | Config = "mnist_vae", *,
                     checkpoint_dir: str | None = None,
                     what: str = "sampler", out_path: str | None = None,
                     quantize: str | None = None, refine: int = 0,
-                    prior: str = "auto", gmm_k: int = 10):
+                    prior: str = "auto", gmm_k: int = 10,
+                    flow_steps: int = 2000):
     """AOT-export a serving artifact (StableHLO, params baked in).
 
     ``prior='expost'`` bakes the ex-post aggregate-posterior Gaussian
     (fit to the test split at export time) in as the sampler's
     generation prior — the measured-best mode on converged checkpoints
     (RESULTS.md 800k A/B); 'expost_gmm' bakes a ``gmm_k``-component
-    ex-post GMM instead. 'standard' forces N(0,I); 'auto' keeps the
+    ex-post GMM instead; 'expost_flow' bakes a RealNVP flow fit
+    (core/flow.py — the inverse pass exports as part of the same
+    StableHLO program). 'standard' forces N(0,I); 'auto' keeps the
     model's own (shaped) prior.
     """
     from apv_tpu import serving
 
-    if prior not in ("auto", "standard", "expost", "expost_gmm"):
+    if prior not in ("auto", "standard", "expost", "expost_gmm",
+                     "expost_flow"):
         raise ValueError(f"unknown prior {prior!r} "
-                         "(auto|standard|expost|expost_gmm)")
+                         "(auto|standard|expost|expost_gmm|expost_flow)")
     cfg = _adopt_checkpoint_arch(_resolve(config, overrides), overrides,
                                  checkpoint_dir)
     state = _restore_state(cfg, checkpoint_dir)
@@ -399,7 +418,8 @@ def export_artifact(config: str | Config = "mnist_vae", *,
         d_params = _d(state, cfg) if prior == "auto" else None
         from apv_tpu.models import build_model
         prior_moments = _expost_prior(cfg, build_model(cfg.model),
-                                      _p(state, cfg), prior, gmm_k=gmm_k)
+                                      _p(state, cfg), prior, gmm_k=gmm_k,
+                                      flow_steps=flow_steps)
         return serving.export_sampler(cfg, _p(state, cfg), d_params, out,
                                       quantize=quantize,
                                       refine_steps=refine,

@@ -51,14 +51,17 @@ def main(argv: list[str] | None = None) -> int:
     p_eval.add_argument("--dataset", default=None)
     p_eval.add_argument("--k", type=int, default=None)
     p_eval.add_argument("--prior", choices=("model", "expost",
-                                            "expost_gmm"),
+                                            "expost_gmm", "expost_flow"),
                         default="model",
                         help="score under the checkpoint's own prior, or "
-                             "an ex-post (GMM) prior fitted to the train "
-                             "split — exact closed-form density, no MC "
-                             "log-partition term")
+                             "an ex-post (GMM / RealNVP-flow) prior fitted "
+                             "to the train split — exact closed-form "
+                             "density, no MC log-partition term")
     p_eval.add_argument("--gmm-k", type=int, default=10, metavar="K",
                         help="components for --prior expost_gmm")
+    p_eval.add_argument("--flow-steps", type=int, default=2000,
+                        metavar="N",
+                        help="MLE fit steps for --prior expost_flow")
 
     p_sample = sub.add_parser("sample", help="decode prior samples to a grid")
     _add_common(p_sample, "mnist_vae")
@@ -79,17 +82,21 @@ def main(argv: list[str] | None = None) -> int:
                           help="interpolation steps (with --visualize "
                                "interpolate)")
     p_sample.add_argument("--prior", choices=("auto", "standard", "expost",
-                                              "expost_gmm"),
+                                              "expost_gmm", "expost_flow"),
                           default="auto",
                           help="latent draw: the model's own (shaped) "
                                "prior, forced N(0,I), an ex-post "
                                "aggregate-posterior Gaussian fit to the "
                                "test split (for priors that under-"
-                               "disperse vs q(z)), or an ex-post "
-                               "--gmm-k-component GMM fit (carries q's "
-                               "heavy tails too)")
+                               "disperse vs q(z)), an ex-post "
+                               "--gmm-k-component GMM fit, or an ex-post "
+                               "RealNVP flow fit (carries q's heavy "
+                               "tails exactly)")
     p_sample.add_argument("--gmm-k", type=int, default=10, metavar="K",
                           help="components for --prior expost_gmm")
+    p_sample.add_argument("--flow-steps", type=int, default=2000,
+                          metavar="N",
+                          help="MLE fit steps for --prior expost_flow")
     p_sample.add_argument("--refine", type=int, default=0, metavar="STEPS",
                           help="MALA refinement steps on the adversarially-"
                                "shaped prior after the SIR draw (0 = SIR "
@@ -131,14 +138,17 @@ def main(argv: list[str] | None = None) -> int:
                        help="bake STEPS MALA refinement steps on the "
                             "shaped prior into the sampler artifact")
     p_exp.add_argument("--prior", choices=("auto", "standard", "expost",
-                                           "expost_gmm"),
+                                           "expost_gmm", "expost_flow"),
                        default="auto",
                        help="sampler artifact's latent draw; 'expost' "
                             "bakes an aggregate-posterior Gaussian fit "
                             "(computed at export time) in as constants; "
-                            "'expost_gmm' a --gmm-k-component GMM fit")
+                            "'expost_gmm' a --gmm-k-component GMM fit; "
+                            "'expost_flow' a RealNVP flow fit")
     p_exp.add_argument("--gmm-k", type=int, default=10, metavar="K",
                        help="components for --prior expost_gmm")
+    p_exp.add_argument("--flow-steps", type=int, default=2000, metavar="N",
+                       help="MLE fit steps for --prior expost_flow")
     p_exp.add_argument("--quantize", choices=("int8",), default=None,
                        help="weight-only post-training quantization of the "
                             "baked params (sampler only; ~4x smaller)")
@@ -191,7 +201,8 @@ def main(argv: list[str] | None = None) -> int:
         result = api.evaluate(args.preset, overrides=args.overrides,
                               checkpoint_dir=args.checkpoint_dir,
                               dataset=args.dataset, k=args.k,
-                              prior=args.prior, gmm_k=args.gmm_k)
+                              prior=args.prior, gmm_k=args.gmm_k,
+                              flow_steps=args.flow_steps)
         print(json.dumps(result, indent=2))
     elif args.command == "sample":
         if args.visualize:
@@ -211,7 +222,8 @@ def main(argv: list[str] | None = None) -> int:
                        checkpoint_dir=args.checkpoint_dir, n=args.n,
                        mode=args.mode, seed=args.seed, out_path=args.out,
                        quality_n=args.quality, refine=args.refine,
-                       prior=args.prior, gmm_k=args.gmm_k)
+                       prior=args.prior, gmm_k=args.gmm_k,
+                       flow_steps=args.flow_steps)
             print("wrote sample grid")
     elif args.command == "ood":
         result = api.ood_score(args.preset, overrides=args.overrides,
@@ -224,7 +236,8 @@ def main(argv: list[str] | None = None) -> int:
                                    what=args.what, out_path=args.out,
                                    quantize=args.quantize,
                                    refine=args.refine, prior=args.prior,
-                                   gmm_k=args.gmm_k)
+                                   gmm_k=args.gmm_k,
+                                   flow_steps=args.flow_steps)
         print(f"exported {args.what} to {path}")
     return 0
 

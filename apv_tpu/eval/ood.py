@@ -55,6 +55,17 @@ def auroc(in_scores: np.ndarray, ood_scores: np.ndarray) -> float:
     return float(roc_auc_score(y, s))
 
 
+def fpr_at_tpr(in_scores: np.ndarray, ood_scores: np.ndarray,
+               tpr: float = 0.95) -> float:
+    """FPR at the threshold admitting ``tpr`` of in-distribution inputs —
+    the OOD literature's standard operating-point companion to AUROC
+    (AUROC averages over all thresholds; a deployment picks ONE). Higher
+    score ⇒ in-distribution; threshold = the in-score quantile passing
+    ``tpr``, conservatively (ties count as admitted)."""
+    thresh = np.quantile(in_scores, 1.0 - tpr, method="lower")
+    return float(np.mean(ood_scores >= thresh))
+
+
 def _per_sample(cfg: Config, params, d_params, dataset, *, use_adv, k, mesh,
                 seed):
     return evaluate_nll(cfg, params, d_params, mesh=mesh, dataset=dataset,
@@ -184,6 +195,7 @@ def ood_scores(cfg: Config, params, d_params=None, *, mesh=None,
         "ood_dataset": cfg.ood.ood_dataset,
         "auroc_in_vs_ood": auroc(in_s, ood_s),
         "auroc_ood_vs_in": auroc(-in_s, -ood_s),
+        "fpr_at_95_tpr": fpr_at_tpr(in_s, ood_s),
         "in_mean": float(in_s.mean()), "ood_mean": float(ood_s.mean()),
         "n_in": int(in_s.shape[0]), "n_ood": int(ood_s.shape[0]),
     }

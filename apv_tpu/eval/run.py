@@ -284,9 +284,10 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
                 "log p(z)")
         use_adv = False
         from apv_tpu.sampling.run import expost_prior_logpdf
+        # tree_map keeps the structure convention intact (tuples for the
+        # Gaussian/GMM fits, a params dict for the flow)
         prior_moments = jax.device_put(
-            tuple(jnp.asarray(m) for m in prior_moments),
-            replicated(mesh))
+            jax.tree.map(jnp.asarray, prior_moments), replicated(mesh))
         prior_logpdf = expost_prior_logpdf(prior_moments)
 
     model = build_model(cfg.model)
@@ -354,6 +355,10 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
     nll = float(-scores.mean())
     result = {
         "nll_nats": nll,
+        # SEM over test examples — the sampling-noise error bar on the
+        # mean NLL (the log-Z MC error bar is log_partition_se below)
+        "nll_nats_se": float(scores.std(ddof=1)
+                             / np.sqrt(max(scores.shape[0], 2))),
         "bits_per_dim": float(nats_to_bits_per_dim(nll, h * w * c)),
         "iwae_k": k,
         "num_examples": int(scores.shape[0]),
@@ -365,8 +370,9 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
         # 'model' = the checkpoint's own prior (N(0,I) or shaped);
         # ex-post priors are exact, so log_partition(_se) above stay 0
         "prior": ("model" if prior_moments is None
-                  else ("expost" if len(prior_moments) == 2
-                        else "expost_gmm")),
+                  else "expost_flow" if isinstance(prior_moments, dict)
+                  else "expost" if len(prior_moments) == 2
+                  else "expost_gmm"),
     }
     if per_sample:
         result["per_sample"] = scores

@@ -238,6 +238,24 @@ def fit_gmm_em(key: jax.Array, z: jax.Array, k: int, *,
     return log_w, means, variances
 
 
+def posterior_draws(model, params, x_in: jax.Array, key: jax.Array,
+                    draws_per_x: int = 2) -> jax.Array:
+    """[N·draws_per_x, Z] samples of the aggregate posterior q(z) =
+    E_x[q(z|x)] — the fit target shared by the ex-post GMM and flow
+    priors. ``draws_per_x`` posterior samples per datum keep a fit from
+    mistaking per-x posterior spread for between-x structure."""
+    from apv_tpu import ops
+
+    @jax.jit
+    def _draw(params, x, key):
+        mean, logvar = model.apply({"params": params}, x, method="encode")
+        ks = jax.random.split(key, draws_per_x)
+        zs = jnp.stack([ops.reparam_sample(kk, mean, logvar) for kk in ks])
+        return zs.reshape(-1, zs.shape[-1])
+
+    return _draw(params, x_in, key)
+
+
 def expost_prior_gmm(model, params, x_in: jax.Array, key: jax.Array, *,
                      k: int = 10, iters: int = 75, draws_per_x: int = 2):
     """K-component ex-post prior: EM-fit a diagonal GMM to samples of the
@@ -248,31 +266,50 @@ def expost_prior_gmm(model, params, x_in: jax.Array, key: jax.Array, *,
     (RESULTS.md 800k A/B: its residual gap is exactly the tails a single
     diagonal Gaussian cannot hold); the RAE lineage's remedy is this
     K-component fit (arXiv 1903.12436 §4 fits a 10-component GMM ex
-    post). ``draws_per_x`` posterior samples per datum keep the fit from
-    mistaking per-x posterior spread for between-x structure.
+    post).
 
     Returns ``(log_weights [K], means [K,Z], variances [K,Z])``.
     """
-    from apv_tpu import ops
-
-    @jax.jit
-    def _draw(params, x, key):
-        mean, logvar = model.apply({"params": params}, x, method="encode")
-        ks = jax.random.split(key, draws_per_x)
-        zs = jnp.stack([ops.reparam_sample(kk, mean, logvar) for kk in ks])
-        return zs.reshape(-1, zs.shape[-1])
-
     k_draw, k_fit = jax.random.split(key)
-    z = _draw(params, x_in, k_draw)
+    z = posterior_draws(model, params, x_in, k_draw, draws_per_x)
     return jax.jit(fit_gmm_em, static_argnames=("k", "iters"))(
         k_fit, z, k=k, iters=iters)
+
+
+def expost_prior_flow(model, params, x_in: jax.Array, key: jax.Array, *,
+                      n_layers: int = 6, hidden: int = 64,
+                      steps: int = 2000, draws_per_x: int = 4):
+    """Flow ex-post prior: RealNVP MLE-fit to aggregate-posterior samples
+    (core/flow.py — the heavy-tail rung above the diagonal/GMM fits).
+
+    Returns the fitted flow params dict — the third ``prior_moments``
+    form next to the (mean, var) and (log_w, means, vars) tuples; the
+    draw/density owners below dispatch on the dict. Prints nothing;
+    callers can inspect convergence via the returned fit trace in
+    ``flow_nll`` (final mean train NLL, nats) stashed on the dict.
+    """
+    from apv_tpu.core.flow import fit_flow
+
+    k_draw, k_fit = jax.random.split(key)
+    z = posterior_draws(model, params, x_in, k_draw, draws_per_x)
+    flow, nll_trace = fit_flow(k_fit, z, n_layers=n_layers, hidden=hidden,
+                               steps=steps)
+    # Final-window NLL rides along for observability; tree_map'd consumers
+    # (device_get, export baking) treat it as one more leaf.
+    flow["flow_nll"] = jnp.mean(nll_trace[-50:])
+    return flow
 
 
 def expost_prior_sample(key: jax.Array, prior_moments, n: int,
                         z_dim: int) -> jax.Array:
     """Draw n latents from a fitted ex-post prior: a ``(mean, var)``
-    diagonal Gaussian or a ``(log_w, means, vars)`` diagonal GMM —
-    the single draw-side owner of the tuple-arity convention."""
+    diagonal Gaussian, a ``(log_w, means, vars)`` diagonal GMM, or a
+    flow params dict (core/flow.py) — the single draw-side owner of the
+    prior_moments structure convention."""
+    if isinstance(prior_moments, dict):
+        from apv_tpu.core.flow import flow_inverse
+        u = jax.random.normal(key, (n, z_dim), jnp.float32)
+        return flow_inverse(prior_moments, u)
     if len(prior_moments) == 2:
         agg_mean, agg_var = prior_moments
         eps = jax.random.normal(key, (n, z_dim), jnp.float32)
@@ -286,12 +323,15 @@ def expost_prior_sample(key: jax.Array, prior_moments, n: int,
 
 def expost_prior_logpdf(prior_moments):
     """``z [..., Z] → log p(z) [...]`` for a fitted ex-post prior — the
-    density counterpart of :func:`expost_prior_sample` (same tuple-arity
-    convention). Both forms are exact closed-form densities, so an
+    density counterpart of :func:`expost_prior_sample` (same structure
+    convention). All three forms are exact closed-form densities, so an
     ex-post NLL needs no MC log-partition estimate."""
     from apv_tpu.core.distributions import (diag_gmm_logpdf,
                                             gaussian_logpdf)
 
+    if isinstance(prior_moments, dict):
+        from apv_tpu.core.flow import flow_logpdf
+        return lambda z: flow_logpdf(prior_moments, z)
     if len(prior_moments) == 2:
         agg_mean, agg_var = prior_moments
 

@@ -174,9 +174,10 @@ def export_sampler(cfg: Config, params, d_params, out_path: str | Path,
     """
     if prior_moments is not None:
         # host-pull so the traced constants are plain arrays, not handles
-        # onto whatever device computed the moments
-        prior_moments = tuple(jnp.asarray(jax.device_get(m))
-                              for m in prior_moments)
+        # onto whatever device computed the moments; tree_map preserves
+        # the structure convention (tuples for Gaussian/GMM, flow dict)
+        prior_moments = jax.tree.map(jnp.asarray,
+                                     jax.device_get(prior_moments))
     if quantize == "int8":
         q = quantize_params_int8(params)
         qd = quantize_params_int8(d_params) if d_params is not None else None

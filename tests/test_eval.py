@@ -208,6 +208,23 @@ def test_auroc():
     assert abs(auroc(hi, hi) - 0.5) < 0.05
 
 
+def test_fpr_at_tpr():
+    from apv_tpu.eval.ood import fpr_at_tpr
+
+    rng = np.random.default_rng(1)
+    in_s = rng.normal(2.0, 1.0, 2000)
+    # perfectly-separated OOD scores: zero false positives at any TPR
+    assert fpr_at_tpr(in_s, in_s - 100.0) == 0.0
+    # identical distributions: admitting 95% of in admits ~95% of ood
+    other = rng.normal(2.0, 1.0, 2000)
+    assert abs(fpr_at_tpr(in_s, other) - 0.95) < 0.03
+    # analytic middle case: in ~ N(2,1), ood ~ N(0,1); the 95%-TPR
+    # threshold is 2+Φ⁻¹(0.05) ≈ 0.355 ⇒ FPR = 1−Φ(0.355) ≈ 0.361
+    shifted = rng.normal(0.0, 1.0, 4000)
+    got = fpr_at_tpr(in_s, shifted, tpr=0.95)
+    assert abs(got - 0.361) < 0.04, got
+
+
 def test_ood_suite_runs_mnist_fashion():
     cfg = tiny_config("mnist_advprior", **{
         "ood.in_dataset": "mnist", "ood.ood_dataset": "fashion_mnist",

@@ -98,6 +98,17 @@ def test_ksharded_expost_prior_matches_unsharded():
     ll_4 = np.asarray(jax.jit(f4)(params, {}, x, x, key, 0.0))
     np.testing.assert_allclose(ll_4, ll_1, rtol=1e-5, atol=1e-4)
 
+    # the flow form too: an identity-initialized flow (zero-init
+    # couplings, unit whitening) IS N(0,I), and its params-dict closure
+    # must thread through the shard_map body like the tuple forms
+    from apv_tpu.core.flow import init_flow
+    flow = init_flow(jax.random.PRNGKey(0), zd, n_layers=2, hidden=4)
+    ff = make_sharded_iwae_fn(model, "bernoulli", k=16, chunk=4,
+                              mesh=mesh_4,
+                              prior_logpdf=expost_prior_logpdf(flow))
+    ll_f = np.asarray(jax.jit(ff)(params, {}, x, x, key, 0.0))
+    np.testing.assert_allclose(ll_f, ll_1, rtol=1e-5, atol=1e-4)
+
 
 def test_evaluate_nll_with_k_shards():
     """End-to-end evaluate path with the k-sharded estimator."""
