@@ -134,44 +134,66 @@ def flow_logpdf(params: dict, z: jax.Array) -> jax.Array:
 
 def fit_flow(key: jax.Array, z: jax.Array, *, n_layers: int = 6,
              hidden: int = 64, steps: int = 2000, batch: int = 1024,
-             lr: float = 1e-3, weight_decay: float = 1e-4):
+             lr: float = 1e-3, weight_decay: float = 1e-4,
+             holdout_frac: float = 0.1):
     """Maximum-likelihood fit to latent samples, one jitted program.
 
     AdamW over ``steps`` minibatch NLL steps under a single ``lax.scan``
     (cosine-decayed LR); minibatches are on-device index gathers, so the
     entire fit is one dispatch. Returns ``(params, nll_trace)`` where
-    ``nll_trace`` is the per-step mean NLL (nats) for convergence
-    inspection. Weight decay is the overfit guard: the fit sees a few
-    thousand posterior draws but carries ~10⁵ parameters.
+    ``nll_trace`` is the per-step mean train NLL (nats) for convergence
+    inspection.
+
+    Two overfit guards — the fit sees a few thousand posterior draws but
+    carries ~10⁵ parameters: weight decay, and holdout-best selection
+    (``holdout_frac`` of the samples never train; every step scores them
+    and the scan carries the best-holdout params, so the returned flow
+    is the early-stopped one, not the last iterate). The holdout shuffle
+    is seeded off ``key`` — callers pass data in any order.
     """
     import optax
 
     z = jnp.asarray(z, jnp.float32)
-    n, z_dim = z.shape
+    n_total, z_dim = z.shape
+    k_init, k_perm, k_fit = jax.random.split(key, 3)
+    n_hold = int(n_total * holdout_frac)
+    if n_hold > 0:
+        z = z[jax.random.permutation(k_perm, n_total)]
+    z_hold, z_train = z[:n_hold], z[n_hold:]
+    n = n_total - n_hold
     batch = min(batch, n)
-    k_init, k_fit = jax.random.split(key)
     params = init_flow(k_init, z_dim, n_layers=n_layers, hidden=hidden,
-                       mean=jnp.mean(z, axis=0),
-                       std=jnp.std(z, axis=0) + 1e-4)
+                       mean=jnp.mean(z_train, axis=0),
+                       std=jnp.std(z_train, axis=0) + 1e-4)
     tx = optax.adamw(optax.cosine_decay_schedule(lr, steps),
                      weight_decay=weight_decay)
 
     @jax.jit
-    def _fit(params, z, key):
+    def _fit(params, z_train, z_hold, key):
         opt_state = tx.init(params)
 
         def nll(p, zb):
             return -jnp.mean(flow_logpdf(p, zb))
 
         def step(carry, k):
-            p, s = carry
+            p, s, best_nll, best_p = carry
             idx = jax.random.randint(k, (batch,), 0, n)
-            loss, g = jax.value_and_grad(nll)(p, z[idx])
+            loss, g = jax.value_and_grad(nll)(p, z_train[idx])
             updates, s = tx.update(g, s, p)
-            return (optax.apply_updates(p, updates), s), loss
+            p = optax.apply_updates(p, updates)
+            if n_hold > 0:
+                h = nll(p, z_hold)
+                better = h < best_nll
+                best_nll = jnp.where(better, h, best_nll)
+                best_p = jax.tree.map(
+                    lambda new, old: jnp.where(better, new, old), p, best_p)
+            else:
+                best_p = p
+            return (p, s, best_nll, best_p), loss
 
-        (params, _), losses = jax.lax.scan(
-            step, (params, opt_state), jax.random.split(key, steps))
-        return params, losses
+        carry = (params, opt_state, jnp.float32(jnp.inf), params)
+        (_, _, _, best_p), losses = jax.lax.scan(
+            step, carry, jax.random.split(key, steps))
+        return best_p, losses
 
-    return _fit(params, z, k_fit)
+    return _fit(params, z_train, z_hold, k_fit)
