@@ -235,12 +235,17 @@ def sample(config: str | Config = "mnist_vae", *,
     prior_moments = _expost_prior(cfg, model, _p(state, cfg), prior,
                                   gmm_k=gmm_k, flow_steps=flow_steps,
                                   seed=seed)
+    # 'auto' on a flow-prior checkpoint = the model's own trained prior;
+    # 'standard' still forces N(0,I) (model_prior False).
+    model_prior = (getattr(cfg.model, "prior", "standard") == "flow"
+                   and prior == "auto")
     images, diag = generate_samples(
         model, _p(state, cfg), jax.random.PRNGKey(seed),
         n, cfg.model.z_dim, cfg.model.likelihood,
         cfg.model.image_shape[2], d_apply=d_apply,
         d_params=d_params, mode=mode, refine_steps=refine,
-        prior_moments=prior_moments, return_diagnostics=True)
+        prior_moments=prior_moments, model_prior=model_prior,
+        return_diagnostics=True)
     if diag:
         print(json.dumps({"sampler_diagnostics": diag}))
     path = out_path or Path(cfg.results_dir) / cfg.name / "samples.png"
@@ -251,7 +256,8 @@ def sample(config: str | Config = "mnist_vae", *,
                                  d_params if prior == "auto" else None,
                                  n=quality_n, seed=seed,
                                  refine_steps=refine,
-                                 prior_moments=prior_moments)
+                                 prior_moments=prior_moments,
+                                 model_prior=model_prior)
         metrics["prior"] = prior
         _write_json(cfg, "sample_quality.json", metrics)
         print(json.dumps(metrics, indent=2))
@@ -423,7 +429,8 @@ def export_artifact(config: str | Config = "mnist_vae", *,
         return serving.export_sampler(cfg, _p(state, cfg), d_params, out,
                                       quantize=quantize,
                                       refine_steps=refine,
-                                      prior_moments=prior_moments)
+                                      prior_moments=prior_moments,
+                                      force_standard=(prior == "standard"))
     if what == "scorer":
         if refine:
             raise ValueError("refine is sampler-only (MALA on the shaped "

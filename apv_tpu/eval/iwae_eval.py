@@ -38,7 +38,8 @@ def sample_posterior_chunk(chunk_key, mean, logvar, chunk: int):
 
 def make_logw_chunk_fn(decode: Callable, likelihood: str, chunk: int,
                        d_apply: Callable | None = None,
-                       prior_logpdf: Callable | None = None) -> Callable:
+                       prior_logpdf: Callable | None = None,
+                       prior_logpdf_p: Callable | None = None) -> Callable:
     """One-chunk log importance weights [chunk, B] — the ONE place the
     IWAE estimator math lives. Shared by the unsharded scan
     (``make_iwae_fn``) and the k-sharded shard_map (``eval/sharded.py``)
@@ -47,13 +48,18 @@ def make_logw_chunk_fn(decode: Callable, likelihood: str, chunk: int,
 
     ``prior_logpdf`` (``z [..., Z] → [...]``, exact closed form) replaces
     the standard-Gaussian prior term entirely — the ex-post fitted priors
-    (sampling/run.expost_prior_logpdf). Mutually exclusive with
-    ``d_apply``: the shaped prior is a CORRECTION on top of p0, an
-    ex-post prior is a different p."""
-    if d_apply is not None and prior_logpdf is not None:
-        raise ValueError("d_apply (shaped prior) and prior_logpdf (ex-post "
-                         "prior) are mutually exclusive — scoring both "
-                         "would multiply two priors into the weights")
+    (sampling/run.expost_prior_logpdf). ``prior_logpdf_p``
+    (``(params, z) → [...]``) does the same for a prior whose parameters
+    live inside the MODEL's params — the trained flow prior
+    (model.prior='flow'). All three prior readings are mutually
+    exclusive: the shaped prior is a CORRECTION on top of p0; the other
+    two are each a complete, different p."""
+    if sum(x is not None for x in (d_apply, prior_logpdf,
+                                   prior_logpdf_p)) > 1:
+        raise ValueError("d_apply (shaped prior), prior_logpdf (ex-post "
+                         "prior) and prior_logpdf_p (trained model prior) "
+                         "are mutually exclusive — scoring several would "
+                         "multiply priors into the weights")
 
     def logw_chunk(params, d_params, mean, logvar, x_target, chunk_key,
                    log_z):
@@ -67,6 +73,8 @@ def make_logw_chunk_fn(decode: Callable, likelihood: str, chunk: int,
             likelihood).reshape(chunk, b)
         if prior_logpdf is not None:
             logp0 = prior_logpdf(z)
+        elif prior_logpdf_p is not None:
+            logp0 = prior_logpdf_p(params, z)
         else:
             logp0 = jnp.sum(D.standard_gaussian_logpdf(z), axis=-1)
         logq = jnp.sum(D.gaussian_logpdf(z, mean, logvar), axis=-1)
@@ -80,7 +88,8 @@ def make_logw_chunk_fn(decode: Callable, likelihood: str, chunk: int,
 
 def make_iwae_fn(model, likelihood: str, k: int, chunk: int,
                  d_apply: Callable | None = None,
-                 prior_logpdf: Callable | None = None) -> Callable:
+                 prior_logpdf: Callable | None = None,
+                 prior_logpdf_p: Callable | None = None) -> Callable:
     """Build ``fn(params, d_params, x_in, x_target, key, log_z) -> [B]``.
 
     ``d_apply`` non-None switches the prior to the adversarially-shaped
@@ -96,7 +105,7 @@ def make_iwae_fn(model, likelihood: str, k: int, chunk: int,
         return model.apply({"params": params}, z, method="decode")
 
     logw_chunk = make_logw_chunk_fn(decode, likelihood, chunk, d_apply,
-                                    prior_logpdf)
+                                    prior_logpdf, prior_logpdf_p)
 
     def iwae_fn(params, d_params, x_in, x_target, key, log_z=0.0):
         mean, logvar = encode(params, x_in)          # [B, Z], once

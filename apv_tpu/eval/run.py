@@ -292,6 +292,15 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
 
     model = build_model(cfg.model)
     d_apply = None
+    prior_logpdf_p = None
+    if (getattr(cfg.model, "prior", "standard") == "flow"
+            and prior_logpdf is None and not use_adv):
+        # The checkpoint's own prior is the trained flow: exact density
+        # whose params live inside `params` (log Z stays 0). An explicit
+        # ex-post prior (prior_moments) still takes precedence — it is a
+        # deliberate replacement of the model's prior.
+        def prior_logpdf_p(p, z):
+            return model.apply({"params": p}, z, method="prior_logpdf")
     log_z = jnp.float32(0.0)
     log_z_se = 0.0
     if use_adv:
@@ -313,10 +322,12 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
         iwae_fn = make_sharded_iwae_fn(model, cfg.model.likelihood, k=k,
                                        chunk=chunk, mesh=mesh,
                                        d_apply=d_apply,
-                                       prior_logpdf=prior_logpdf)
+                                       prior_logpdf=prior_logpdf,
+                                       prior_logpdf_p=prior_logpdf_p)
     else:
         iwae_fn = make_iwae_fn(model, cfg.model.likelihood, k=k, chunk=chunk,
-                               d_apply=d_apply, prior_logpdf=prior_logpdf)
+                               d_apply=d_apply, prior_logpdf=prior_logpdf,
+                               prior_logpdf_p=prior_logpdf_p)
     jit_iwae = jax.jit(iwae_fn)
 
     arrays = eval_arrays(cfg, dataset,

@@ -106,7 +106,8 @@ def mmd2_rbf(f_a: np.ndarray, f_b: np.ndarray,
 def sample_quality(cfg, params, d_params=None, *, n: int = 2048,
                    seed: int = 0, feature_seed: int = 0, mesh=None,
                    batch_size: int = 256, mode: str = "sample",
-                   refine_steps: int = 0, prior_moments=None) -> dict:
+                   refine_steps: int = 0, prior_moments=None,
+                   model_prior: bool | None = None) -> dict:
     """Generated-vs-real distances for a checkpoint (config-5 suite
     extension; the reference's exact sample-quality reporting is
     unreadable — SURVEY.md §0 — so this ships as a monitoring metric).
@@ -131,6 +132,11 @@ def sample_quality(cfg, params, d_params=None, *, n: int = 2048,
     d_apply = None
     if cfg.adversarial.enabled and d_params is not None:
         d_apply = d_apply_fn(make_latent_d(cfg.adversarial))
+    if model_prior is None:
+        # default: a flow-prior checkpoint scores its own trained prior
+        # (unless an ex-post fit explicitly replaces it)
+        model_prior = (getattr(cfg.model, "prior", "standard") == "flow"
+                       and prior_moments is None)
 
     real = eval_arrays(cfg, None, max_examples=n)["image"]
     # Binarized configs store uint8 {0,1} (static_binarize's compact
@@ -163,7 +169,8 @@ def sample_quality(cfg, params, d_params=None, *, n: int = 2048,
                                     cfg.model.likelihood, c, d_apply=d_apply,
                                     d_params=d_params, mode=mode,
                                     refine_steps=refine_steps,
-                                    prior_moments=prior_moments)
+                                    prior_moments=prior_moments,
+                                    model_prior=model_prior)
             f_fake.append(np.asarray(feat(fake)))
             f_real.append(np.asarray(feat(real[i:i + b])))
     f_real = np.concatenate(f_real)

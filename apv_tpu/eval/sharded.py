@@ -51,7 +51,8 @@ def make_mesh_2d(n_data: int, n_k: int, devices=None) -> Mesh:
 
 def make_sharded_iwae_fn(model, likelihood: str, k: int, chunk: int,
                          mesh: Mesh, d_apply: Callable | None = None,
-                         prior_logpdf: Callable | None = None):
+                         prior_logpdf: Callable | None = None,
+                         prior_logpdf_p: Callable | None = None):
     """Build ``fn(params, d_params, x_in, x_target, key, log_z) -> [B]``.
 
     ``k`` is the TOTAL sample count; each of the mesh's n_k k-shards runs
@@ -75,7 +76,7 @@ def make_sharded_iwae_fn(model, likelihood: str, k: int, chunk: int,
 
     from apv_tpu.eval.iwae_eval import make_logw_chunk_fn
     local_logw_chunk = make_logw_chunk_fn(decode, likelihood, chunk, d_apply,
-                                          prior_logpdf)
+                                          prior_logpdf, prior_logpdf_p)
     n_data = mesh.shape[DATA_AXIS]
 
     def shard_fn(params, d_params, x_in, x_target, key, log_z):

@@ -84,6 +84,9 @@ class ConvVAE(nn.Module):
     likelihood: str = "bernoulli"
     activation: str = "gelu"
     mix_components: int = 5                    # disc_logistic_mix only
+    prior: str = "standard"                    # standard | flow
+    prior_flow_layers: int = 6                 # prior='flow' only
+    prior_flow_hidden: int = 64
 
     def setup(self):
         self.encoder = ConvEncoder(self.z_dim, self.widths, self.dense,
@@ -95,13 +98,39 @@ class ConvVAE(nn.Module):
                                    out_params, self.dtype,
                                    activation=self.activation)
 
+        if self.prior == "flow":
+            from apv_tpu.models.flow_prior import FlowPrior
+            self.flow_prior = FlowPrior(self.z_dim, self.prior_flow_layers,
+                                        self.prior_flow_hidden)
+        elif self.prior != "standard":
+            raise ValueError(
+                f"unknown model prior {self.prior!r} (standard|flow)")
+
     def encode(self, x):
         return self.encoder(x)
 
     def decode(self, z):
         return self.decoder(z)
 
+    def prior_logpdf(self, z):
+        """log p(z) under the model's own prior, shape z.shape[:-1] —
+        exact for both families (the adversarially-shaped prior is NOT
+        a model prior; it lives in d_params and carries a log Z)."""
+        if self.prior == "flow":
+            return self.flow_prior(z)
+        from apv_tpu.core.distributions import standard_gaussian_logpdf
+        return jnp.sum(standard_gaussian_logpdf(z), axis=-1)
+
+    def prior_sample_from(self, u):
+        """Base draws u ~ N(0,I) → prior draws (identity for the
+        standard prior, exact flow inverse for prior='flow')."""
+        if self.prior == "flow":
+            return self.flow_prior.sample_from(u)
+        return u
+
     def __call__(self, x, z):
         """Used only for init: touches every parameter once."""
         mean, logvar = self.encode(x)
+        if self.prior == "flow":
+            self.prior_logpdf(z)       # create the flow params at init
         return mean, logvar, self.decode(z)

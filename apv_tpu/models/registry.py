@@ -17,7 +17,12 @@ def build_model(model_cfg) -> nn.Module:
                        image_shape=tuple(model_cfg.image_shape),
                        likelihood=model_cfg.likelihood,
                        activation=getattr(model_cfg, "activation", "gelu"),
-                       mix_components=mix)
+                       mix_components=mix,
+                       prior=getattr(model_cfg, "prior", "standard"),
+                       prior_flow_layers=getattr(model_cfg,
+                                                 "prior_flow_layers", 6),
+                       prior_flow_hidden=getattr(model_cfg,
+                                                 "prior_flow_hidden", 64))
     if model_cfg.family == "resnet":
         return ResNetVAE(z_dim=model_cfg.z_dim, widths=tuple(model_cfg.widths),
                          blocks_per_stage=model_cfg.blocks_per_stage,
@@ -26,5 +31,10 @@ def build_model(model_cfg) -> nn.Module:
                          upsample=getattr(model_cfg, "upsample", "nearest"),
                          activation=getattr(model_cfg, "activation", "gelu"),
                          norm=getattr(model_cfg, "norm", "group"),
-                         mix_components=mix)
+                         mix_components=mix,
+                         prior=getattr(model_cfg, "prior", "standard"),
+                         prior_flow_layers=getattr(model_cfg,
+                                                   "prior_flow_layers", 6),
+                         prior_flow_hidden=getattr(model_cfg,
+                                                   "prior_flow_hidden", 64))
     raise ValueError(f"unknown model family {model_cfg.family!r}")

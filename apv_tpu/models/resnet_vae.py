@@ -143,6 +143,9 @@ class ResNetVAE(nn.Module):
     activation: str = "gelu"
     norm: str = "group"
     mix_components: int = 5                    # disc_logistic_mix only
+    prior: str = "standard"                    # standard | flow
+    prior_flow_layers: int = 6                 # prior='flow' only
+    prior_flow_hidden: int = 64
 
     def setup(self):
         self.encoder = ResNetEncoder(self.z_dim, self.widths,
@@ -157,12 +160,38 @@ class ResNetVAE(nn.Module):
                                      activation=self.activation,
                                      norm=self.norm)
 
+        if self.prior == "flow":
+            from apv_tpu.models.flow_prior import FlowPrior
+            self.flow_prior = FlowPrior(self.z_dim, self.prior_flow_layers,
+                                        self.prior_flow_hidden)
+        elif self.prior != "standard":
+            raise ValueError(
+                f"unknown model prior {self.prior!r} (standard|flow)")
+
     def encode(self, x):
         return self.encoder(x)
 
     def decode(self, z):
         return self.decoder(z)
 
+    def prior_logpdf(self, z):
+        """log p(z) under the model's own prior, shape z.shape[:-1] —
+        exact for both families (the adversarially-shaped prior is NOT
+        a model prior; it lives in d_params and carries a log Z)."""
+        if self.prior == "flow":
+            return self.flow_prior(z)
+        from apv_tpu.core.distributions import standard_gaussian_logpdf
+        return jnp.sum(standard_gaussian_logpdf(z), axis=-1)
+
+    def prior_sample_from(self, u):
+        """Base draws u ~ N(0,I) → prior draws (identity for the
+        standard prior, exact flow inverse for prior='flow')."""
+        if self.prior == "flow":
+            return self.flow_prior.sample_from(u)
+        return u
+
     def __call__(self, x, z):
         mean, logvar = self.encode(x)
+        if self.prior == "flow":
+            self.prior_logpdf(z)       # create the flow params at init
         return mean, logvar, self.decode(z)

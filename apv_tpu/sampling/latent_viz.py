@@ -49,6 +49,12 @@ def latent_scatter_data(model, params, x_in: jax.Array, key: jax.Array,
         agg_var = jnp.var(mean, axis=0) + jnp.mean(jnp.exp(logvar), axis=0)
         z_expost = agg_mean + jnp.sqrt(agg_var) * jax.random.normal(
             k_e, (n, z_dim), jnp.float32)
+        if getattr(model, "prior", "standard") == "flow":
+            # trained flow prior: ITS draws are the model-prior cloud
+            # (the N(0,I) cloud stays as the base-distribution referent)
+            z_shaped = model.apply({"params": params}, z_prior,
+                                   method="prior_sample_from")
+            return mean, z_prior, z_shaped, z_expost
         if d_apply is None:
             return mean, z_prior, z_prior, z_expost
         z_shaped = sample_prior(k_s, n, z_dim, d_apply=d_apply,
@@ -72,6 +78,8 @@ def latent_scatter_data(model, params, x_in: jax.Array, key: jax.Array,
            "expost_prior": proj(z_expost), "explained": explained}
     if d_apply is not None:
         out["shaped_prior"] = proj(z_shaped)
+    elif getattr(model, "prior", "standard") == "flow":
+        out["flow_prior"] = proj(z_shaped)
     return out
 
 
@@ -87,6 +95,7 @@ def save_latent_scatter(data: dict, path: str | Path,
         ("posterior", "aggregate posterior q(z)", "#1f77b4", 0.45),
         ("prior", "prior N(0, I)", "#9aa0a6", 0.30),
         ("shaped_prior", "shaped prior p*(z)", "#d62728", 0.45),
+        ("flow_prior", "trained flow prior p_θ(z)", "#d62728", 0.45),
         ("expost_prior", "ex-post prior (fit to q)", "#2ca02c", 0.35),
     ]
     for key, label, color, alpha in styles:

@@ -347,7 +347,7 @@ def expost_prior_logpdf(prior_moments):
 @functools.lru_cache(maxsize=32)
 def _sample_fn(model, n: int, z_dim: int, likelihood: str,
                image_channels: int, mode: str, d_apply,
-               refine_steps: int, expost: bool):
+               refine_steps: int, expost: bool, model_prior: bool):
     """Cached jitted decode pass: without the cache every generate_samples
     call builds a fresh closure, so jit re-traces (and reloads from the
     persistent compile cache) per call — ~475 ms of pure overhead on the
@@ -358,6 +358,12 @@ def _sample_fn(model, n: int, z_dim: int, likelihood: str,
         k_z, k_x = jax.random.split(key)
         if expost:
             z = expost_prior_sample(k_z, prior_moments, n, z_dim)
+            diag = {}
+        elif model_prior:
+            # the model's own trained (flow) prior: exact inverse pass
+            u = jax.random.normal(k_z, (n, z_dim), jnp.float32)
+            z = model.apply({"params": params}, u,
+                            method="prior_sample_from")
             diag = {}
         else:
             z, diag = sample_prior(k_z, n, z_dim, d_apply=d_apply,
@@ -375,19 +381,28 @@ def generate_samples(model, params, key: jax.Array, n: int, z_dim: int,
                      likelihood: str, image_channels: int, *,
                      d_apply=None, d_params=None, mode: str = "mean",
                      refine_steps: int = 0, prior_moments=None,
+                     model_prior: bool = False,
                      return_diagnostics: bool = False):
     """Decode n prior samples → images in [0,1], one jitted batched pass
     (SIR + optional MALA refine + decode compile together).
 
     ``prior_moments`` (from :func:`expost_prior_moments`) switches the
     latent draw to the ex-post aggregate-posterior Gaussian instead of
-    the model's own (shaped) prior."""
+    the model's own (shaped) prior. ``model_prior`` draws from the
+    model's own TRAINED prior instead (the flow prior,
+    model.prior='flow' — exact, no SIR/D machinery)."""
     if prior_moments is not None and refine_steps > 0:
         raise ValueError("refine_steps applies to the adversarially-shaped "
                          "prior; the ex-post prior is sampled exactly — "
                          "use one or the other")
+    if model_prior and (prior_moments is not None or d_apply is not None
+                        or refine_steps > 0):
+        raise ValueError("model_prior (the trained flow prior) is drawn "
+                         "exactly from the model's params — it excludes "
+                         "ex-post moments, a latent D, and refinement")
     fn = _sample_fn(model, n, z_dim, likelihood, image_channels, mode,
-                    d_apply, refine_steps, prior_moments is not None)
+                    d_apply, refine_steps, prior_moments is not None,
+                    model_prior)
     images, diag = fn(params, d_params, key, prior_moments)
     if return_diagnostics:
         return images, {k: (float(v) if hasattr(v, "shape") else v)

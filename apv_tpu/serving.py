@@ -28,7 +28,7 @@ from apv_tpu.utils.config import Config
 
 
 def _sampler_fn(cfg: Config, params, d_params, refine_steps: int = 0,
-                prior_moments=None):
+                prior_moments=None, force_standard: bool = False):
     model = build_model(cfg.model)
     use_adv = cfg.adversarial.enabled and d_params is not None
     if refine_steps > 0 and (not use_adv or prior_moments is not None):
@@ -63,6 +63,14 @@ def _sampler_fn(cfg: Config, params, d_params, refine_steps: int = 0,
                                  {"params": dp}, zz),
                              d_params=d_params,
                              refine_steps=refine_steps)
+        elif (getattr(cfg.model, "prior", "standard") == "flow"
+              and not force_standard):
+            # the model's own trained flow prior: exact inverse pass on
+            # base draws, params baked with the rest (models/flow_prior)
+            u = jax.random.normal(
+                k_z, (cfg.eval.batch_size, cfg.model.z_dim), jnp.float32)
+            z = model.apply({"params": params}, u,
+                            method="prior_sample_from")
         else:
             z = sample_prior(k_z, cfg.eval.batch_size, cfg.model.z_dim)
         out = model.apply({"params": params}, z, method="decode")
@@ -104,6 +112,15 @@ def _scorer_fn(cfg: Config, params, d_params=None, log_z: float = 0.0):
                                   jax.random.PRNGKey(seed),
                                   cfg.model.likelihood)
         elbo = recon - kl
+        if getattr(cfg.model, "prior", "standard") == "flow":
+            # swap the analytic-KL prior term N(0,I) for the trained
+            # flow: elbo = recon + log p_θ(z) − log q = (recon − kl)
+            # + (log p_θ(z) − log p0(z)) — same z, exact correction
+            from apv_tpu.core.distributions import standard_gaussian_logpdf
+            lp_flow = model.apply({"params": params}, z,
+                                  method="prior_logpdf")
+            elbo = elbo + lp_flow - jnp.sum(standard_gaussian_logpdf(z),
+                                            axis=-1)
         if use_adv:
             elbo = elbo + disc.apply({"params": d_params}, z) - log_z
         return elbo
@@ -156,7 +173,8 @@ def dequantize_params(tree, dtype=jnp.float32):
 
 def export_sampler(cfg: Config, params, d_params, out_path: str | Path,
                    quantize: str | None = None,
-                   refine_steps: int = 0, prior_moments=None) -> Path:
+                   refine_steps: int = 0, prior_moments=None,
+                   force_standard: bool = False) -> Path:
     """Serialize the batched generation path (params baked in).
 
     ``quantize='int8'`` applies weight-only post-training quantization to
@@ -185,9 +203,11 @@ def export_sampler(cfg: Config, params, d_params, out_path: str | Path,
         def fn(seed):
             return _sampler_fn(cfg, dequantize_params(q),
                                None if qd is None else dequantize_params(qd),
-                               refine_steps, prior_moments)(seed)
+                               refine_steps, prior_moments,
+                               force_standard)(seed)
     elif quantize is None:
-        fn = _sampler_fn(cfg, params, d_params, refine_steps, prior_moments)
+        fn = _sampler_fn(cfg, params, d_params, refine_steps, prior_moments,
+                         force_standard)
     else:
         raise ValueError(f"unknown quantize mode {quantize!r} (int8)")
     with ops_dispatch.backend("jnp"):

@@ -187,6 +187,7 @@ def iwae_objective(encode: Callable, decode: Callable, params: Any,
                    x_in: jax.Array, x_target: jax.Array, key: jax.Array,
                    likelihood: str, k: int, beta: jax.Array,
                    grad_estimator: str = "dreg",
+                   prior_logpdf_p: Callable | None = None,
                    d_apply: Callable | None = None,
                    adv_variant: str | None = None,
                    adv_weight: float = 0.0,
@@ -205,6 +206,14 @@ def iwae_objective(encode: Callable, decode: Callable, params: Any,
     ``sample_posterior_chunk``. β scales the prior/posterior mismatch term
     so β-warmup behaves like the ELBO path's (β=1 recovers the true bound;
     k=1 recovers the single-sample MC ELBO — tested).
+
+    ``prior_logpdf_p`` (``(params, z [k,B,Z]) → [k,B]``) replaces the
+    standard-Gaussian prior term with the model's own trained prior
+    (the flow prior, model.prior='flow'). Its parameters are θ-side:
+    under DReG they get the same w̃-weighted path as the decoder
+    (β·w̃·∂log p_θ(z)/∂θ, z stopped), while the φ path reaches the prior
+    only through z in log w (params stopped) — the exact flow-prior
+    analogue of Tucker et al.'s decoder treatment.
 
     With the adversarial prior: 'learned_prior' (and 'biadversarial''s
     latent half) puts adv_weight·D(z_i) inside log w_i (it IS part of
@@ -250,7 +259,10 @@ def iwae_objective(encode: Callable, decode: Callable, params: Any,
     def recon_fn(p, z_flat):
         return decode_recon(p, z_flat)[1]
 
-    log_p0 = jnp.sum(D.standard_gaussian_logpdf(z), axis=-1)        # [k, B]
+    def log_p0_fn(p, zz):
+        if prior_logpdf_p is not None:
+            return prior_logpdf_p(p, zz)                            # [k, B]
+        return jnp.sum(D.standard_gaussian_logpdf(zz), axis=-1)
 
     def log_q_fn(m, lv):
         return jnp.sum(D.gaussian_logpdf(z, m, lv), axis=-1)        # [k, B]
@@ -261,7 +273,7 @@ def iwae_objective(encode: Callable, decode: Callable, params: Any,
     learned_prior = d_apply is not None and adv_variant in (
         "learned_prior", "biadversarial")
 
-    def log_w_from(recon, log_q):
+    def log_w_from(recon, log_p0, log_q):
         logw = recon + beta * (log_p0 - log_q)
         if learned_prior:
             # D(z) is part of log p*(z): same β·weight scaling as g_phase.
@@ -271,7 +283,8 @@ def iwae_objective(encode: Callable, decode: Callable, params: Any,
     sg = jax.lax.stop_gradient
     if grad_estimator == "reparam":
         out_g, recon = decode_recon(params, zf)
-        log_w = log_w_from(recon, log_q_fn(mean, logvar))
+        log_p0 = log_p0_fn(params, z)
+        log_w = log_w_from(recon, log_p0, log_q_fn(mean, logvar))
         objective = jnp.mean(
             jax.scipy.special.logsumexp(log_w, axis=0) - jnp.log(float(k)))
     else:
@@ -281,10 +294,17 @@ def iwae_objective(encode: Callable, decode: Callable, params: Any,
         # share one primal (XLA CSEs the forward); only the backward splits.
         recon_z = recon_fn(sg(params), zf)                 # φ path via z
         out_g, recon_th = decode_recon(params, sg(zf))     # θ path
-        log_w_z = log_w_from(recon_z, log_q_fn(sg(mean), sg(logvar)))
+        log_p0 = log_p0_fn(sg(params), z)                  # φ path via z
+        log_w_z = log_w_from(recon_z, log_p0,
+                             log_q_fn(sg(mean), sg(logvar)))
         w_tilde = sg(jax.nn.softmax(log_w_z, axis=0))      # [k, B]
+        theta_path = recon_th
+        if prior_logpdf_p is not None:
+            # trained-prior params are θ-side: w̃-weighted, z stopped
+            # (see docstring); β matches log w's prior-term scaling.
+            theta_path = theta_path + beta * prior_logpdf_p(params, sg(z))
         surrogate = jnp.mean(jnp.sum(
-            w_tilde * recon_th + jnp.square(w_tilde) * log_w_z, axis=0))
+            w_tilde * theta_path + jnp.square(w_tilde) * log_w_z, axis=0))
         bound = sg(jnp.mean(
             jax.scipy.special.logsumexp(log_w_z, axis=0) - jnp.log(float(k))))
         objective = bound + surrogate - sg(surrogate)      # value=bound,

@@ -110,6 +110,16 @@ def _beta(cfg: Config, step: jax.Array) -> jax.Array:
 def make_train_fns(cfg: Config) -> TrainFns:
     model = build_model(cfg.model)
     adv = cfg.adversarial.enabled
+    flow_prior = getattr(cfg.model, "prior", "standard") == "flow"
+    if flow_prior and adv:
+        raise ValueError(
+            "model.prior='flow' and adversarial.enabled are mutually "
+            "exclusive — each is a complete reading of log p(z) (the "
+            "flow IS the prior; the adversarial D shapes N(0,I))")
+    if flow_prior and cfg.train.free_bits > 0.0:
+        raise ValueError(
+            "train.free_bits needs the analytic per-dimension KL; the "
+            "flow prior's KL term is a single-sample MC estimate")
     # biadversarial = learned_prior's z-space D PLUS a pixel-space conv D
     # on decoded reconstructions; both live under d_params ({'latent':…,
     # 'pixel':…}) and share ONE optimizer/n_critic schedule, so the
@@ -130,6 +140,14 @@ def make_train_fns(cfg: Config) -> TrainFns:
 
     def d_apply(d_params, z):
         return disc.apply({"params": d_params}, z)
+
+    def prior_lp(params, z):
+        """log p(z) under the model's own prior — the trained flow when
+        model.prior='flow' (its params live INSIDE `params`, so the same
+        value_and_grad trains it; the ELBO's −β·E_q[log q − log p_θ] term
+        is, for the flow leaves, maximum likelihood on posterior
+        samples)."""
+        return model.apply({"params": params}, z, method="prior_logpdf")
 
     def px_apply(px_params, x):
         return pxd.apply({"params": px_params}, x)
@@ -205,7 +223,9 @@ def make_train_fns(cfg: Config) -> TrainFns:
             objective, aux, z_q = L.iwae_objective(
                 encode, decode, params, x_in, x_target, key,
                 cfg.model.likelihood, cfg.train.iwae_k, beta,
-                cfg.train.iwae_grad, d_apply=d_fn,
+                cfg.train.iwae_grad,
+                prior_logpdf_p=prior_lp if flow_prior else None,
+                d_apply=d_fn,
                 adv_variant=cfg.adversarial.variant if adv else None,
                 adv_weight=cfg.adversarial.weight, px_apply=px_fn,
                 px_weight=cfg.adversarial.pixel_weight if biadv else 0.0)
@@ -230,7 +250,16 @@ def make_train_fns(cfg: Config) -> TrainFns:
             out = decode(params, z)
             recon = L.recon_log_likelihood(x_target, out,
                                            cfg.model.likelihood)
-            kl = ops.kl_standard(mean, logvar)
+            if flow_prior:
+                # Single-sample MC KL(q‖p_θ) = log q(z|x) − log p_θ(z):
+                # no closed form against a flow; the reparam gradient
+                # reaches the encoder through both terms and the flow
+                # through log p_θ.
+                from apv_tpu.core import distributions as D
+                lq = jnp.sum(D.gaussian_logpdf(z, mean, logvar), axis=-1)
+                kl = lq - prior_lp(params, z)
+            else:
+                kl = ops.kl_standard(mean, logvar)
             aux = {"recon": jnp.mean(recon), "kl": jnp.mean(kl)}
             per_sample = recon                   # non-KL objective terms [B]
             if adv:
@@ -351,8 +380,18 @@ def make_train_fns(cfg: Config) -> TrainFns:
         key = jax.random.fold_in(state.rng, 0x7FFFFFFF)
         k_deq, k_z = jax.random.split(key)
         x_in, x_target = prepare_batch(cfg, batch, k_deq)
-        recon, kl, _ = L.elbo_terms(encode, decode, state.params, x_in,
-                                    x_target, k_z, cfg.model.likelihood)
+        if flow_prior:
+            from apv_tpu.core import distributions as D
+            mean, logvar = encode(state.params, x_in)
+            z = ops.reparam_sample(k_z, mean, logvar)
+            out = decode(state.params, z)
+            recon = L.recon_log_likelihood(x_target, out,
+                                           cfg.model.likelihood)
+            kl = (jnp.sum(D.gaussian_logpdf(z, mean, logvar), axis=-1)
+                  - prior_lp(state.params, z))
+        else:
+            recon, kl, _ = L.elbo_terms(encode, decode, state.params, x_in,
+                                        x_target, k_z, cfg.model.likelihood)
         return {"valid_elbo": jnp.mean(recon - kl),
                 "valid_recon": jnp.mean(recon), "valid_kl": jnp.mean(kl)}
 

@@ -45,6 +45,13 @@ class ModelConfig:
     # 1/sqrt(2) residual scaling — GroupNorm is ~15% of the measured step
     # and the reference's normalization is [I]-level (RESULTS.md roofline).
     norm: str = "group"
+    # standard | flow: the model's own prior. 'flow' trains a RealNVP
+    # prior p_th(z) jointly with the VAE (models/flow_prior.py) — the
+    # exact-likelihood counterpart of the adversarial prior (mutually
+    # exclusive with adversarial.enabled; enforced in training/step.py).
+    prior: str = "standard"
+    prior_flow_layers: int = 6                 # prior='flow' only
+    prior_flow_hidden: int = 64
 
 
 @dataclass(frozen=True)
