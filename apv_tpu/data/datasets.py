@@ -104,6 +104,39 @@ def _load_idx_pair(root: Path, subdir: str, split: str):
     return images, labels
 
 
+def _load_cifar10_targz(root: Path, split: str):
+    """Read CIFAR-10 straight from the distribution tarball
+    (``cifar-10-python.tar.gz`` — the file the download page actually
+    serves) without requiring extraction: members stream through
+    ``tarfile``, so a mounted archive is enough to train on."""
+    import tarfile
+
+    names = ([f"data_batch_{i}" for i in range(1, 6)]
+             if split == "train" else ["test_batch"])
+    for base in (root, root / "cifar10"):
+        path = base / "cifar-10-python.tar.gz"
+        if not path.exists():
+            continue
+        imgs, labs = [], []
+        with tarfile.open(path, "r:gz") as tf:
+            members = {m.name.rsplit("/", 1)[-1]: m for m in tf.getmembers()}
+            missing = [n for n in names if n not in members]
+            if missing:
+                raise FileNotFoundError(
+                    f"cifar10/{split}: {path} is missing members {missing} "
+                    "— a corrupt or non-standard archive, not an "
+                    "invitation to silently train on synthetic data")
+            for n in names:
+                d = pickle.load(tf.extractfile(members[n]),
+                                encoding="bytes")
+                imgs.append(np.asarray(d[b"data"], np.uint8))
+                labs.extend(d[b"labels"])
+        images = (np.concatenate(imgs).reshape(-1, 3, 32, 32)
+                  .transpose(0, 2, 3, 1))
+        return np.ascontiguousarray(images), np.asarray(labs, np.int32)
+    return None
+
+
 def _load_cifar10(root: Path, split: str):
     for base in (root / "cifar10" / "cifar-10-batches-py",
                  root / "cifar-10-batches-py", root / "cifar10"):
@@ -125,7 +158,8 @@ def _load_cifar10(root: Path, split: str):
             labs.extend(d[b"labels"])
         images = np.concatenate(imgs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
         return np.ascontiguousarray(images), np.asarray(labs, np.int32)
-    return None
+    # extracted batches absent: accept the unextracted distribution tarball
+    return _load_cifar10_targz(root, split)
 
 
 def _load_svhn(root: Path, split: str):

@@ -81,6 +81,50 @@ def test_cifar10_pickle_batches(tmp_path, rng):
     assert out_i.shape == (20, 32, 32, 3)
 
 
+def test_cifar10_distribution_tarball(tmp_path, rng):
+    """The unextracted ``cifar-10-python.tar.gz`` (what the download page
+    serves, with the standard ``cifar-10-batches-py/`` member prefix)
+    loads without extraction; a truncated archive fails loud."""
+    import io
+    import tarfile
+
+    all_imgs, all_labs = [], []
+    buf_members = []
+    for i in range(1, 6):
+        data = rng.integers(0, 256, size=(20, 3072)).astype(np.uint8)
+        labels = rng.integers(0, 10, size=20).tolist()
+        buf_members.append((f"cifar-10-batches-py/data_batch_{i}",
+                            pickle.dumps({b"data": data,
+                                          b"labels": labels})))
+        all_imgs.append(data)
+        all_labs.extend(labels)
+    buf_members.append(("cifar-10-batches-py/test_batch",
+                        pickle.dumps({b"data": all_imgs[0],
+                                      b"labels": all_labs[:20]})))
+    with tarfile.open(tmp_path / "cifar-10-python.tar.gz", "w:gz") as tf:
+        for name, payload in buf_members:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+
+    out_i, out_l = load_dataset("cifar10", "train", data_dir=tmp_path,
+                                allow_synthetic=False)
+    want = np.concatenate(all_imgs).reshape(-1, 3, 32, 32).transpose(
+        0, 2, 3, 1)
+    np.testing.assert_array_equal(out_i, want)
+    np.testing.assert_array_equal(out_l, np.asarray(all_labs, np.int32))
+
+    # missing members = corrupt archive: loud error, not synthetic data
+    with tarfile.open(tmp_path / "cifar-10-python.tar.gz", "w:gz") as tf:
+        name, payload = buf_members[0]
+        info = tarfile.TarInfo(name)
+        info.size = len(payload)
+        tf.addfile(info, io.BytesIO(payload))
+    with pytest.raises(FileNotFoundError, match="missing members"):
+        load_dataset("cifar10", "train", data_dir=tmp_path,
+                     allow_synthetic=False)
+
+
 def test_svhn_mat(tmp_path, rng):
     from scipy.io import savemat
     d = tmp_path / "svhn"
