@@ -190,7 +190,7 @@ def test_generate_samples_jit_cached():
     state = _init_state(cfg)
     model = build_model(cfg.model)
     args = (model, 4, cfg.model.z_dim, cfg.model.likelihood, 1, "mean", None,
-            0, False)
+            0, False, False)
     assert _sample_fn(*args) is _sample_fn(*args)
     a = generate_samples(model, state.params, jax.random.PRNGKey(0), 4,
                          cfg.model.z_dim, cfg.model.likelihood, 1)
