@@ -12,9 +12,17 @@ distributional distances between generated and real test images:
 * ``mmd2_rbf`` — unbiased MMD² with an RBF kernel at the median-heuristic
   bandwidth, computed in the same feature space (kernel two-sample test;
   zero in expectation when the two sets share a distribution).
+* ``density`` / ``coverage`` — the manifold fidelity/diversity pair of
+  Naeem et al. 2020 (arXiv 2002.09797), computed in the same feature
+  space with k-NN real-sample balls. Unlike the two scalar distances
+  they separate failure modes: low density = samples off the real
+  manifold (poor fidelity), low coverage = real modes no sample reaches
+  (mode dropping). density ≈ 1 and coverage ≈ 1 when the two sets share
+  a distribution.
 
-Both are monitoring/selection metrics (lower is better); they rank models
-and detect collapse, they are NOT comparable to published FID numbers.
+All are monitoring/selection metrics (Fréchet/MMD²: lower is better;
+density/coverage: higher is better); they rank models and detect
+collapse, they are NOT comparable to published FID/PRDC numbers.
 """
 
 from __future__ import annotations
@@ -103,6 +111,45 @@ def mmd2_rbf(f_a: np.ndarray, f_b: np.ndarray,
     return float(k_aa + k_bb - 2.0 * k_ab)
 
 
+def density_coverage(f_real: np.ndarray, f_fake: np.ndarray,
+                     k: int = 5) -> tuple[float, float]:
+    """Density and coverage (Naeem et al. 2020, arXiv 2002.09797 eqs. 3-4).
+
+    Both are built from the real samples' k-NN balls B(r_i, rad_k(r_i)),
+    where rad_k(r_i) is the distance from real sample i to its k-th
+    nearest OTHER real sample:
+
+    * density  = (1/(kM)) Σ_j #{i : g_j ∈ B_i} — how densely fake samples
+      land inside real-manifold balls, normalized so matched
+      distributions score ≈ 1 (can exceed 1 for over-concentration).
+    * coverage = (1/N) #{i : ∃ j, g_j ∈ B_i} — the fraction of real
+      k-NN balls that contain at least one fake sample, in [0, 1].
+
+    Improves on precision/recall-style metrics by being robust to fake
+    outliers (an off-manifold fake inflates neither number).
+    """
+    f_real = np.asarray(f_real, np.float64)
+    f_fake = np.asarray(f_fake, np.float64)
+    if len(f_real) <= k:
+        raise ValueError(f"density_coverage needs > k={k} real samples, "
+                         f"got {len(f_real)}")
+
+    def sq_dists(x, y):
+        xx = (x * x).sum(1)[:, None]
+        yy = (y * y).sum(1)[None, :]
+        return np.maximum(xx + yy - 2.0 * (x @ y.T), 0.0)
+
+    d_rr = sq_dists(f_real, f_real)
+    # k-th nearest OTHER real point: column 0 of the sorted row is the
+    # self-distance 0, so index k is the k-th neighbour proper.
+    rad2 = np.sort(d_rr, axis=1)[:, k]          # [N] squared radii
+    d_rf = sq_dists(f_real, f_fake)             # [N, M]
+    inside = d_rf <= rad2[:, None]              # g_j ∈ B(r_i, rad_k(r_i))
+    density = float(inside.sum() / (k * f_fake.shape[0]))
+    coverage = float(inside.any(axis=1).mean())
+    return density, coverage
+
+
 def sample_quality(cfg, params, d_params=None, *, n: int = 2048,
                    seed: int = 0, feature_seed: int = 0, mesh=None,
                    batch_size: int = 256, mode: str = "sample",
@@ -175,9 +222,12 @@ def sample_quality(cfg, params, d_params=None, *, n: int = 2048,
             f_real.append(np.asarray(feat(real[i:i + b])))
     f_real = np.concatenate(f_real)
     f_fake = np.concatenate(f_fake)
+    density, coverage = density_coverage(f_real, f_fake)
     return {
         "frechet_rfd": frechet_distance(f_real, f_fake),
         "mmd2_rbf": mmd2_rbf(f_real, f_fake),
+        "density": density,
+        "coverage": coverage,
         "n": int(n),
         "pixel_mode": mode,
         "feature_seed": int(feature_seed),

@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from conftest import tiny_config
 from apv_tpu.eval.iwae_eval import estimate_log_partition, make_iwae_fn
@@ -389,6 +390,47 @@ def test_frechet_and_mmd_two_sample_behavior():
     assert abs(mmd2_rbf(a, a2)) < 0.01 < mmd2_rbf(a, b)
 
 
+def test_density_coverage_behavior():
+    """Matched distributions → density ≈ 1, coverage ≈ 1; far-shifted
+    fakes → both ≈ 0; collapsed fakes → density can stay high while
+    coverage drops (the failure-mode separation the metric exists for)."""
+    from apv_tpu.eval.sample_quality import density_coverage
+    rng = np.random.default_rng(0)
+    real = rng.normal(0, 1, (500, 16))
+    same = rng.normal(0, 1, (500, 16))
+    far = rng.normal(25.0, 1, (500, 16))
+    collapsed = real[0] + rng.normal(0, 1e-3, (500, 16))
+
+    d_same, c_same = density_coverage(real, same)
+    assert 0.7 < d_same < 1.4
+    assert c_same > 0.9
+
+    d_far, c_far = density_coverage(real, far)
+    assert d_far < 0.01 and c_far < 0.01
+
+    d_col, c_col = density_coverage(real, collapsed)
+    assert c_col < 0.05          # almost no real ball is reached...
+    assert d_col > 0.2           # ...yet the clump sits ON the manifold
+
+
+def test_density_coverage_hand_computed():
+    """Exact check on a 1-D configuration small enough to enumerate."""
+    from apv_tpu.eval.sample_quality import density_coverage
+    real = np.array([[0.0], [1.0], [2.0], [10.0]])
+    # k=1 radii: r(0)=1 (→1.0), r(1)=1 (→0 or 2), r(2)=1 (→1), r(10)=8
+    fake = np.array([[0.5], [9.0]])
+    # 0.5 ∈ B(0,1), B(1,1), B(2,1)? |0.5-2|=1.5 > 1 → no. 9 ∈ B(10,8).
+    # density = (1·2 + 1·1) / (k=1 · M=2) hmm: 0.5 inside balls of 0 and 1
+    # → 2 memberships; 9.0 inside ball of 10 → 1. total 3 / (1*2) = 1.5
+    # coverage: balls of 0, 1, 10 hit; ball of 2 not → 3/4.
+    d, c = density_coverage(real, fake, k=1)
+    assert d == 1.5
+    assert c == 0.75
+
+    with pytest.raises(ValueError):
+        density_coverage(real[:1], fake, k=1)
+
+
 def test_feature_net_deterministic():
     from apv_tpu.eval.sample_quality import extract_features, feature_params
     x = jnp.asarray(np.random.default_rng(1).uniform(size=(4, 28, 28, 1)),
@@ -408,6 +450,8 @@ def test_sample_quality_report():
     assert rep["n"] == 64
     assert np.isfinite(rep["frechet_rfd"]) and rep["frechet_rfd"] >= 0
     assert np.isfinite(rep["mmd2_rbf"])
+    assert rep["density"] >= 0.0
+    assert 0.0 <= rep["coverage"] <= 1.0
     # untrained samples vs real data must not look identical
     assert rep["frechet_rfd"] > 1e-3
 
