@@ -71,9 +71,22 @@ def _make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def _make_d_optimizer(cfg: Config) -> optax.GradientTransformation:
+    a = cfg.adversarial
+    lr: Any = a.d_lr
+    if a.d_lr_schedule == "cosine":
+        # The D optimizer ticks once per critic iteration (n_critic per
+        # train step), so the decay horizon counts D updates, not steps.
+        d_updates = (max(1, cfg.train.steps // cfg.train.grad_accum)
+                     * max(1, a.n_critic))
+        lr = optax.cosine_decay_schedule(
+            init_value=a.d_lr, decay_steps=d_updates,
+            alpha=a.d_lr_end / a.d_lr)
+    elif a.d_lr_schedule != "constant":
+        raise ValueError(f"adversarial.d_lr_schedule must be 'constant' or "
+                         f"'cosine', got {a.d_lr_schedule!r}")
     return _accum(cfg, optax.chain(
         optax.clip_by_global_norm(cfg.train.grad_clip_norm),
-        optax.adam(cfg.adversarial.d_lr, b1=0.5),   # b1=0.5: GAN convention
+        optax.adam(lr, b1=0.5),   # b1=0.5: GAN convention
     ))
 
 

@@ -8,6 +8,7 @@
 cd "$(dirname "$0")/.."
 set -x
 
+FAILED=0
 run() {  # run "phase name" cmd...
   local name="$1"; shift
   echo "=== PHASE START: $name ($(date -u +%H:%M:%S)) ==="
@@ -15,6 +16,7 @@ run() {  # run "phase name" cmd...
     echo "=== PHASE OK: $name ($(date -u +%H:%M:%S)) ==="
   else
     echo "=== PHASE FAILED: $name ($(date -u +%H:%M:%S)) ==="
+    FAILED=$((FAILED + 1))
   fi
 }
 
@@ -65,4 +67,5 @@ run svhn_train apv train --preset cifar_advprior_resnet --overwrite \
   --set data.dataset=svhn --set train.steps=50000
 run ood_cifar apv ood --preset ood_suite --set ood.reverse_of=svhn_advprior_resnet --both
 
-echo "session6 queue complete ($(date -u +%H:%M:%S))"
+echo "session6 queue complete, $FAILED phases failed ($(date -u +%H:%M:%S))"
+exit "$FAILED"

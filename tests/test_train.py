@@ -129,6 +129,44 @@ def test_n_critic_multiple():
     assert np.isfinite(hist[-1]["d_loss"])
 
 
+def test_d_lr_cosine_schedule_decays_updates():
+    """adversarial.d_lr_schedule=cosine: the D optimizer's step size must
+    follow the decaying schedule (Adam's update magnitude tracks the LR
+    regardless of gradient scale), where the constant default keeps D
+    updates the same size throughout."""
+    import pytest
+
+    def d_deltas(schedule, n=8):
+        cfg = tiny_config("mnist_advprior",
+                          **{"adversarial.d_lr_schedule": schedule,
+                             "adversarial.d_lr_end": "1e-8",
+                             "train.steps": str(n)})
+        fns = make_train_fns(cfg)
+        state = fns.init_fn(jax.random.PRNGKey(0))
+        batch = _synthetic_batch(cfg, cfg.train.batch_size)
+        step = jax.jit(fns.train_step)
+        deltas = []
+        for _ in range(n):
+            new, _ = step(state, batch)
+            deltas.append(float(sum(
+                jnp.sum((a - b) ** 2) for a, b in
+                zip(jax.tree.leaves(new.d_params),
+                    jax.tree.leaves(state.d_params)))) ** 0.5)
+            state = new
+        return deltas
+
+    const, cos = d_deltas("constant"), d_deltas("cosine")
+    # Constant: late D updates stay the same order as early ones.
+    assert const[-1] > 0.3 * const[0], const
+    # Cosine to ~0 over the run: the last update is a small fraction of the
+    # first (and of the constant run's last).
+    assert cos[-1] < 0.05 * cos[0], cos
+    assert cos[-1] < 0.05 * const[-1], (cos[-1], const[-1])
+    with pytest.raises(ValueError, match="d_lr_schedule"):
+        make_train_fns(tiny_config(
+            "mnist_advprior", **{"adversarial.d_lr_schedule": "nope"}))
+
+
 def test_activation_and_norm_knobs_train():
     """Throughput knobs (model.activation, model.norm) train finitely and
     actually change the function (different loss from the gelu/group
