@@ -19,6 +19,7 @@ both are first-class and config-switchable):
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable
 
 import jax
@@ -139,6 +140,20 @@ def r1_penalty(d_fn: Callable, x_real: jax.Array) -> jax.Array:
     g = jax.grad(lambda x: jnp.sum(d_fn(x)))(x_real)
     sq = jnp.sum(g.reshape(g.shape[0], -1).astype(jnp.float32) ** 2, axis=-1)
     return 0.5 * jnp.mean(sq)
+
+
+def d_loss_floor(label_smoothing: float) -> float:
+    """The analytic minimum of discriminator_loss below.
+
+    With smoothing s the per-side optimum is at σ(t) = 1−s, where the
+    side's loss equals the binary entropy H(s) = −[s·ln s + (1−s)·ln(1−s)];
+    the two sides sum to 2·H(s) (s=0.1 → 0.6502, exactly the measured
+    plateau of the saturated CIFAR runs — RESULTS.md scaling rows). s=0
+    gives 0 (no floor). The chance plateau (t=0) is 2·ln 2 ≈ 1.386."""
+    s = float(label_smoothing)
+    if s <= 0.0:
+        return 0.0
+    return -2.0 * (s * math.log(s) + (1.0 - s) * math.log(1.0 - s))
 
 
 def discriminator_loss(d_logits_q: jax.Array, d_logits_p: jax.Array,

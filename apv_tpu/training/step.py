@@ -81,9 +81,13 @@ def _make_d_optimizer(cfg: Config) -> optax.GradientTransformation:
         lr = optax.cosine_decay_schedule(
             init_value=a.d_lr, decay_steps=d_updates,
             alpha=a.d_lr_end / a.d_lr)
-    elif a.d_lr_schedule != "constant":
-        raise ValueError(f"adversarial.d_lr_schedule must be 'constant' or "
-                         f"'cosine', got {a.d_lr_schedule!r}")
+    elif a.d_lr_schedule not in ("constant", "floor_adaptive"):
+        # 'floor_adaptive' keeps a constant base LR here; the throttle is a
+        # state-dependent update scale applied in d_phase (it cannot be an
+        # optax schedule — it depends on the current batch's d_loss).
+        raise ValueError(
+            f"adversarial.d_lr_schedule must be 'constant', 'cosine', or "
+            f"'floor_adaptive', got {a.d_lr_schedule!r}")
     return _accum(cfg, optax.chain(
         optax.clip_by_global_norm(cfg.train.grad_clip_norm),
         optax.adam(lr, b1=0.5),   # b1=0.5: GAN convention
@@ -382,6 +386,22 @@ def make_train_fns(cfg: Config) -> TrainFns:
             state.d_params)
         updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state,
                                            state.d_params)
+        if cfg.adversarial.d_lr_schedule == "floor_adaptive":
+            # Floor-tracking D throttle: scale this update by how far the
+            # LATENT D's loss sits above its analytic optimum (2·H(s) with
+            # label smoothing s; 0.650 at s=0.1 — the exact plateau the
+            # saturated CIFAR runs pin at). At the floor D stops
+            # strengthening (factor→0); if G then moves and d_loss rises
+            # back toward the chance plateau (2·ln2), the factor recovers —
+            # a self-correcting equilibrium brake, unlike the open-loop
+            # cosine decay. Adam's moments still accumulate full gradients,
+            # so re-engagement is immediate.
+            floor = L.d_loss_floor(cfg.adversarial.label_smoothing)
+            chance = 2.0 * jnp.log(2.0)
+            factor = jnp.clip((d_metrics["d_loss"] - floor)
+                              / (chance - floor), 0.0, 1.0)
+            updates = jax.tree.map(lambda u: u * factor, updates)
+            d_metrics = dict(d_metrics, d_lr_factor=factor)
         d_params = optax.apply_updates(state.d_params, updates)
         return (state.replace(d_params=d_params, d_opt_state=d_opt_state),
                 d_metrics)

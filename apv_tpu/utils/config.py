@@ -84,14 +84,17 @@ class AdversarialConfig:
     # reference's D-first ordering with its own encode (SURVEY.md §3.2).
     d_reuse_posterior: bool = True
     d_lr: float = 1e-4
-    # constant | cosine: D's learning-rate schedule. 'cosine' decays d_lr
-    # to d_lr_end over the run (counted in D optimizer updates, i.e.
-    # n_critic per train step) — the equilibrium-aware knob for the two
-    # measured late-run D/G drifts: the fashion counterpart's 30k→60k OOD
-    # regression and the CIFAR flagship's D pinning at the smoothing floor
-    # from mid-run (RESULTS.md fashion sweep + scaling rows). A D that
-    # slows as G converges can track the equilibrium instead of
-    # overshooting it.
+    # constant | cosine | floor_adaptive: D's learning-rate schedule.
+    # 'cosine' decays d_lr to d_lr_end over the run (counted in D
+    # optimizer updates, i.e. n_critic per train step) — the open-loop
+    # equilibrium knob for the two measured late-run D/G drifts: the
+    # fashion counterpart's 30k→60k OOD regression and the CIFAR
+    # flagship's D pinning at the smoothing floor from mid-run
+    # (RESULTS.md fashion sweep + scaling rows). 'floor_adaptive' is the
+    # closed-loop version: each D update is scaled by how far d_loss sits
+    # above its analytic smoothing floor (losses.d_loss_floor), so D
+    # stops strengthening exactly when it has saturated and re-engages if
+    # G catches up.
     d_lr_schedule: str = "constant"
     d_lr_end: float = 1e-5
     d_widths: tuple[int, ...] = (256, 256)

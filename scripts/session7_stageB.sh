@@ -79,6 +79,15 @@ run fashion_cos60_train apv train --preset mnist_advprior --overwrite \
 run fashion_cos60_ood apv ood --preset ood_suite \
   --set name=ood_fashion_cos60 --set checkpoint_of=fashion_cos60 \
   --set ood.in_dataset=fashion_mnist --set ood.ood_dataset=mnist
+# Closed-loop variant at the regression horizon: D updates throttled by
+# d_loss's distance from the smoothing floor (d_lr_schedule=floor_adaptive).
+run fashion_fa60_train apv train --preset mnist_advprior --overwrite \
+  --set name=fashion_fa60 --set data.dataset=fashion_mnist \
+  --set train.steps=60000 \
+  --set adversarial.d_lr=1e-3 --set adversarial.d_lr_schedule=floor_adaptive
+run fashion_fa60_ood apv ood --preset ood_suite \
+  --set name=ood_fashion_fa60 --set checkpoint_of=fashion_fa60 \
+  --set ood.in_dataset=fashion_mnist --set ood.ood_dataset=mnist
 
 # --- 4. D-saturation arms on the flagship 100k schedule --------------------
 quality_ab() {  # quality_ab <run_name>: shaped-vs-expost Frechet gap
@@ -108,6 +117,13 @@ run cifar_r1_eval apv evaluate --preset iwae_eval \
   --set checkpoint_of=cifar_r1_100k --set name=cifar_r1_100k \
   --set eval.iwae_k=1000 --set eval.max_examples=512
 quality_ab cifar_r1_100k
+
+run cifar_fa_train apv train --preset cifar_advprior_resnet --overwrite \
+  --set name=cifar_fa_100k --set adversarial.d_lr_schedule=floor_adaptive
+run cifar_fa_eval apv evaluate --preset iwae_eval \
+  --set checkpoint_of=cifar_fa_100k --set name=cifar_fa_100k \
+  --set eval.iwae_k=1000 --set eval.max_examples=512
+quality_ab cifar_fa_100k
 
 run cifar_sn_train apv train --preset cifar_advprior_resnet --overwrite \
   --set name=cifar_sn_100k --set adversarial.d_spectral_norm=true

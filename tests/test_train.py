@@ -167,7 +167,46 @@ def test_d_lr_cosine_schedule_decays_updates():
             "mnist_advprior", **{"adversarial.d_lr_schedule": "nope"}))
 
 
-def test_activation_and_norm_knobs_train():
+def test_d_lr_floor_adaptive_throttles_at_saturation():
+    """d_lr_schedule=floor_adaptive: the analytic floor matches the
+    measured saturation plateau, the throttle factor is reported, and D
+    updates shrink as d_loss approaches the floor."""
+    from apv_tpu.training import losses as L
+
+    # 2·H(0.1) — the exact d_loss plateau the saturated CIFAR runs pin at.
+    assert abs(L.d_loss_floor(0.1) - 0.6502) < 1e-3
+    assert L.d_loss_floor(0.0) == 0.0
+
+    # Frozen-G separable-posterior setup (same trick as the frozen-G test
+    # above): the aggressive D drives d_loss toward the floor, where the
+    # throttle must engage.
+    cfg = tiny_config("mnist_advprior",
+                      **{"adversarial.d_lr_schedule": "floor_adaptive",
+                         "adversarial.label_smoothing": "0.1",
+                         "adversarial.d_lr": "1e-2"})
+    fns = make_train_fns(cfg)
+    state = fns.init_fn(jax.random.PRNGKey(0))
+    bias = state.params["encoder"]["gaussian_head"]["bias"]
+    frozen = jax.tree.map(lambda x: x, state.params)
+    frozen["encoder"]["gaussian_head"]["bias"] = (
+        bias.at[:cfg.model.z_dim].set(2.0))
+    state = state.replace(params=frozen)
+    batch = _synthetic_batch(cfg, cfg.train.batch_size)
+    step = jax.jit(fns.train_step)
+    factors, d_losses = [], []
+    for _ in range(60):
+        state, m = step(state, batch)
+        state = state.replace(params=frozen)   # re-freeze G
+        factors.append(float(m["d_lr_factor"]))
+        d_losses.append(float(m["d_loss"]))
+    # The factor is the clipped floor-distance ratio of the reported loss.
+    floor, chance = L.d_loss_floor(0.1), 2 * np.log(2.0)
+    want = np.clip((np.array(d_losses) - floor) / (chance - floor), 0, 1)
+    assert np.allclose(factors, want, atol=1e-4)
+    # D separates the shifted posterior; the throttle must have engaged
+    # (late factors well below the chance-plateau value of ~1).
+    assert min(factors) < 0.6, (factors[0], min(factors))
+    assert factors[0] > 0.9, factors[0]
     """Throughput knobs (model.activation, model.norm) train finitely and
     actually change the function (different loss from the gelu/group
     default at identical seeds)."""
