@@ -236,16 +236,20 @@ def sample(config: str | Config = "mnist_vae", *,
                                   gmm_k=gmm_k, flow_steps=flow_steps,
                                   seed=seed)
     # 'auto' on a flow-prior checkpoint = the model's own trained prior;
-    # 'standard' still forces N(0,I) (model_prior False).
+    # 'standard' still forces N(0,I) (model_prior False). On a trainable-
+    # gaussian-base checkpoint (model.prior='gaussian'), 'auto' rides the
+    # SIR/D machinery over the learned base (model_base).
     model_prior = (getattr(cfg.model, "prior", "standard") == "flow"
                    and prior == "auto")
+    model_base = (getattr(cfg.model, "prior", "standard") == "gaussian"
+                  and prior == "auto")
     images, diag = generate_samples(
         model, _p(state, cfg), jax.random.PRNGKey(seed),
         n, cfg.model.z_dim, cfg.model.likelihood,
         cfg.model.image_shape[2], d_apply=d_apply,
         d_params=d_params, mode=mode, refine_steps=refine,
         prior_moments=prior_moments, model_prior=model_prior,
-        return_diagnostics=True)
+        model_base=model_base, return_diagnostics=True)
     if diag:
         print(json.dumps({"sampler_diagnostics": diag}))
     path = out_path or Path(cfg.results_dir) / cfg.name / "samples.png"
@@ -257,7 +261,8 @@ def sample(config: str | Config = "mnist_vae", *,
                                  n=quality_n, seed=seed,
                                  refine_steps=refine,
                                  prior_moments=prior_moments,
-                                 model_prior=model_prior)
+                                 model_prior=model_prior,
+                                 model_base=model_base)
         metrics["prior"] = prior
         _write_json(cfg, "sample_quality.json", metrics)
         print(json.dumps(metrics, indent=2))

@@ -50,16 +50,19 @@ def make_logw_chunk_fn(decode: Callable, likelihood: str, chunk: int,
     the standard-Gaussian prior term entirely — the ex-post fitted priors
     (sampling/run.expost_prior_logpdf). ``prior_logpdf_p``
     (``(params, z) → [...]``) does the same for a prior whose parameters
-    live inside the MODEL's params — the trained flow prior
-    (model.prior='flow'). All three prior readings are mutually
-    exclusive: the shaped prior is a CORRECTION on top of p0; the other
-    two are each a complete, different p."""
-    if sum(x is not None for x in (d_apply, prior_logpdf,
-                                   prior_logpdf_p)) > 1:
-        raise ValueError("d_apply (shaped prior), prior_logpdf (ex-post "
-                         "prior) and prior_logpdf_p (trained model prior) "
-                         "are mutually exclusive — scoring several would "
-                         "multiply priors into the weights")
+    live inside the MODEL's params — the trained flow or gaussian prior
+    (model.prior='flow'/'gaussian'). The ex-post prior excludes the other
+    two (it deliberately REPLACES the model's prior). ``d_apply``
+    composes with ``prior_logpdf_p``: the shaped prior is a correction on
+    top of whatever base the model carries — p*(z) ∝ p_base(z)·e^{D(z)}
+    (N(0,I) by default, the trainable N(μ,σ) for model.prior='gaussian';
+    pass the log Z estimated under the SAME base)."""
+    if prior_logpdf is not None and (d_apply is not None
+                                     or prior_logpdf_p is not None):
+        raise ValueError("prior_logpdf (ex-post prior) replaces the "
+                         "model's prior entirely — it excludes d_apply "
+                         "(shaped correction) and prior_logpdf_p (trained "
+                         "model prior)")
 
     def logw_chunk(params, d_params, mean, logvar, x_target, chunk_key,
                    log_z):
@@ -123,8 +126,14 @@ def make_iwae_fn(model, likelihood: str, k: int, chunk: int,
 
 def estimate_log_partition(d_apply: Callable, d_params: Any, z_dim: int,
                            key: jax.Array, n: int = 100_000,
-                           batch: int = 5_000, with_se: bool = False):
-    """log Z = log E_{z~N(0,I)}[e^{D(z)}], streamed logsumexp over n draws.
+                           batch: int = 5_000, with_se: bool = False,
+                           base_from: Callable | None = None):
+    """log Z = log E_{z~base}[e^{D(z)}], streamed logsumexp over n draws.
+
+    ``base_from`` (``u [B,Z] ~ N(0,I) → z [B,Z]``) transforms the MC draws
+    to the shaped prior's BASE distribution — identity (default) for the
+    standard N(0,I) base, the learned μ+σ·u map for model.prior='gaussian'
+    (the log Z must be estimated under the same base the weights use).
 
     ``with_se=True`` additionally returns a delete-one-chunk jackknife
     standard error over the n/batch MC chunks (VERDICT r2 weak-6: a point
@@ -136,7 +145,9 @@ def estimate_log_partition(d_apply: Callable, d_params: Any, z_dim: int,
     keys = jax.random.split(key, n // batch)
 
     def body(_, k):
-        logits = d_apply(d_params, jax.random.normal(k, (batch, z_dim)))
+        u = jax.random.normal(k, (batch, z_dim))
+        z = u if base_from is None else base_from(u)
+        logits = d_apply(d_params, z)
         return None, jax.scipy.special.logsumexp(logits)
 
     _, chunk_lse = jax.lax.scan(body, None, keys)     # [B] per-chunk lse

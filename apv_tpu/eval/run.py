@@ -291,13 +291,16 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
         prior_logpdf = expost_prior_logpdf(prior_moments)
 
     model = build_model(cfg.model)
+    model_prior = getattr(cfg.model, "prior", "standard")
     d_apply = None
     prior_logpdf_p = None
-    if (getattr(cfg.model, "prior", "standard") == "flow"
-            and prior_logpdf is None and not use_adv):
-        # The checkpoint's own prior is the trained flow: exact density
-        # whose params live inside `params` (log Z stays 0). An explicit
-        # ex-post prior (prior_moments) still takes precedence — it is a
+    if (model_prior == "flow" and prior_logpdf is None and not use_adv) \
+            or (model_prior == "gaussian" and prior_logpdf is None):
+        # The checkpoint carries its own trained prior: exact density
+        # whose params live inside `params` (flow — log Z stays 0; or the
+        # trainable gaussian base, which COMPOSES with the adversarial
+        # correction below: p*(z) ∝ N(μ,σ)·e^{D(z)}). An explicit ex-post
+        # prior (prior_moments) still takes precedence — it is a
         # deliberate replacement of the model's prior.
         def prior_logpdf_p(p, z):
             return model.apply({"params": p}, z, method="prior_logpdf")
@@ -309,9 +312,15 @@ def evaluate_nll(cfg: Config, params, d_params=None, *, mesh=None,
         def d_apply(dp, z):
             return disc.apply({"params": dp}, z)
 
+        base_from = None
+        if model_prior == "gaussian":
+            # log Z must be estimated under the SAME base the weights use.
+            def base_from(u):
+                return model.apply({"params": params}, u,
+                                   method="prior_sample_from")
         log_z, log_z_se = jax.jit(lambda dp, key: estimate_log_partition(
-            d_apply, dp, cfg.model.z_dim, key, with_se=True))(
-                d_params, jax.random.PRNGKey(seed + 17))
+            d_apply, dp, cfg.model.z_dim, key, with_se=True,
+            base_from=base_from))(d_params, jax.random.PRNGKey(seed + 17))
         log_z_se = float(log_z_se)
 
     if cfg.eval.k_shards > 1:

@@ -154,7 +154,8 @@ def sample_quality(cfg, params, d_params=None, *, n: int = 2048,
                    seed: int = 0, feature_seed: int = 0, mesh=None,
                    batch_size: int = 256, mode: str = "sample",
                    refine_steps: int = 0, prior_moments=None,
-                   model_prior: bool | None = None) -> dict:
+                   model_prior: bool | None = None,
+                   model_base: bool | None = None) -> dict:
     """Generated-vs-real distances for a checkpoint (config-5 suite
     extension; the reference's exact sample-quality reporting is
     unreadable — SURVEY.md §0 — so this ships as a monitoring metric).
@@ -184,6 +185,10 @@ def sample_quality(cfg, params, d_params=None, *, n: int = 2048,
         # (unless an ex-post fit explicitly replaces it)
         model_prior = (getattr(cfg.model, "prior", "standard") == "flow"
                        and prior_moments is None)
+    if model_base is None:
+        # a trainable-gaussian-base checkpoint rides SIR/D over its base
+        model_base = (getattr(cfg.model, "prior", "standard") == "gaussian"
+                      and prior_moments is None)
 
     real = eval_arrays(cfg, None, max_examples=n)["image"]
     # Binarized configs store uint8 {0,1} (static_binarize's compact
@@ -217,7 +222,8 @@ def sample_quality(cfg, params, d_params=None, *, n: int = 2048,
                                     d_params=d_params, mode=mode,
                                     refine_steps=refine_steps,
                                     prior_moments=prior_moments,
-                                    model_prior=model_prior)
+                                    model_prior=model_prior,
+                                    model_base=model_base)
             f_fake.append(np.asarray(feat(fake)))
             f_real.append(np.asarray(feat(real[i:i + b])))
     f_real = np.concatenate(f_real)

@@ -143,7 +143,7 @@ class ResNetVAE(nn.Module):
     activation: str = "gelu"
     norm: str = "group"
     mix_components: int = 5                    # disc_logistic_mix only
-    prior: str = "standard"                    # standard | flow
+    prior: str = "standard"          # standard | flow | gaussian
     prior_flow_layers: int = 6                 # prior='flow' only
     prior_flow_hidden: int = 64
 
@@ -164,9 +164,13 @@ class ResNetVAE(nn.Module):
             from apv_tpu.models.flow_prior import FlowPrior
             self.flow_prior = FlowPrior(self.z_dim, self.prior_flow_layers,
                                         self.prior_flow_hidden)
+        elif self.prior == "gaussian":
+            from apv_tpu.models.gaussian_prior import GaussianPrior
+            self.gaussian_prior = GaussianPrior(self.z_dim)
         elif self.prior != "standard":
             raise ValueError(
-                f"unknown model prior {self.prior!r} (standard|flow)")
+                f"unknown model prior {self.prior!r} "
+                "(standard|flow|gaussian)")
 
     def encode(self, x):
         return self.encoder(x)
@@ -180,6 +184,8 @@ class ResNetVAE(nn.Module):
         a model prior; it lives in d_params and carries a log Z)."""
         if self.prior == "flow":
             return self.flow_prior(z)
+        if self.prior == "gaussian":
+            return self.gaussian_prior(z)
         from apv_tpu.core.distributions import standard_gaussian_logpdf
         return jnp.sum(standard_gaussian_logpdf(z), axis=-1)
 
@@ -188,10 +194,12 @@ class ResNetVAE(nn.Module):
         standard prior, exact flow inverse for prior='flow')."""
         if self.prior == "flow":
             return self.flow_prior.sample_from(u)
+        if self.prior == "gaussian":
+            return self.gaussian_prior.sample_from(u)
         return u
 
     def __call__(self, x, z):
         mean, logvar = self.encode(x)
-        if self.prior == "flow":
-            self.prior_logpdf(z)       # create the flow params at init
+        if self.prior in ("flow", "gaussian"):
+            self.prior_logpdf(z)       # create the prior params at init
         return mean, logvar, self.decode(z)

@@ -49,17 +49,32 @@ def latent_scatter_data(model, params, x_in: jax.Array, key: jax.Array,
         agg_var = jnp.var(mean, axis=0) + jnp.mean(jnp.exp(logvar), axis=0)
         z_expost = agg_mean + jnp.sqrt(agg_var) * jax.random.normal(
             k_e, (n, z_dim), jnp.float32)
-        if getattr(model, "prior", "standard") == "flow":
+        model_prior_kind = getattr(model, "prior", "standard")
+        if model_prior_kind == "flow":
             # trained flow prior: ITS draws are the model-prior cloud
             # (the N(0,I) cloud stays as the base-distribution referent)
             z_shaped = model.apply({"params": params}, z_prior,
                                    method="prior_sample_from")
             return mean, z_prior, z_shaped, z_expost
+        base_from = base_logp = None
+        if model_prior_kind == "gaussian":
+            # trainable base: the shaped cloud SIRs over N(μ,σ) (and with
+            # no D, the base draw itself is the model-prior cloud)
+            def base_from(u):
+                return model.apply({"params": params}, u,
+                                   method="prior_sample_from")
+
+            def base_logp(zz):
+                return model.apply({"params": params}, zz,
+                                   method="prior_logpdf")
+            if d_apply is None:
+                return mean, z_prior, base_from(z_prior), z_expost
         if d_apply is None:
             return mean, z_prior, z_prior, z_expost
         z_shaped = sample_prior(k_s, n, z_dim, d_apply=d_apply,
                                 d_params=d_params,
-                                refine_steps=refine_steps)
+                                refine_steps=refine_steps,
+                                base_from=base_from, base_logp=base_logp)
         return mean, z_prior, z_shaped, z_expost
 
     mean, z_prior, z_shaped, z_expost = _device(params, d_params, x_in, key)
@@ -80,6 +95,8 @@ def latent_scatter_data(model, params, x_in: jax.Array, key: jax.Array,
         out["shaped_prior"] = proj(z_shaped)
     elif getattr(model, "prior", "standard") == "flow":
         out["flow_prior"] = proj(z_shaped)
+    elif getattr(model, "prior", "standard") == "gaussian":
+        out["gaussian_prior"] = proj(z_shaped)
     return out
 
 
@@ -96,6 +113,7 @@ def save_latent_scatter(data: dict, path: str | Path,
         ("prior", "prior N(0, I)", "#9aa0a6", 0.30),
         ("shaped_prior", "shaped prior p*(z)", "#d62728", 0.45),
         ("flow_prior", "trained flow prior p_θ(z)", "#d62728", 0.45),
+        ("gaussian_prior", "trained gaussian prior N(μ,σ)", "#d62728", 0.45),
         ("expost_prior", "ex-post prior (fit to q)", "#2ca02c", 0.35),
     ]
     for key, label, color, alpha in styles:

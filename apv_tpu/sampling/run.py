@@ -29,11 +29,16 @@ import numpy as np
 from apv_tpu.training.losses import decoder_output_to_likelihood_params
 
 
-def shaped_prior_logp(z: jax.Array, d_apply, d_params) -> jax.Array:
+def shaped_prior_logp(z: jax.Array, d_apply, d_params,
+                      base_logp=None) -> jax.Array:
     """log p*(z) up to the (unknown) log-partition constant:
-    log N(z; 0, I) + D(z), per sample. The constant cancels in both the
-    MALA accept ratio and the SIR weights, so it is omitted."""
-    return -0.5 * jnp.sum(z * z, axis=-1) + d_apply(d_params, z)
+    log p_base(z) + D(z), per sample. The base is N(0,I) by default;
+    ``base_logp`` swaps in a trainable base's exact log-density
+    (model.prior='gaussian'). The constant cancels in both the MALA
+    accept ratio and the SIR weights, so it is omitted."""
+    lp0 = (-0.5 * jnp.sum(z * z, axis=-1) if base_logp is None
+           else base_logp(z))
+    return lp0 + d_apply(d_params, z)
 
 
 def sir_ess(logw: jax.Array) -> jax.Array:
@@ -97,14 +102,24 @@ def langevin_refine(key: jax.Array, z0: jax.Array, logp_fn, steps: int, *,
 def sample_prior(key: jax.Array, n: int, z_dim: int, *, d_apply=None,
                  d_params=None, pool_factor: int = 16,
                  refine_steps: int = 0, init_step: float = 0.1,
-                 return_diagnostics: bool = False):
+                 return_diagnostics: bool = False,
+                 base_from=None, base_logp=None):
     """n draws from the prior; with d_apply, SIR from the shaped prior,
     optionally MALA-refined (``refine_steps`` — see module docstring).
+
+    ``base_from``/``base_logp`` swap the shaped prior's base from N(0,I)
+    to a trainable base (model.prior='gaussian'): the SIR pool is drawn
+    through ``base_from`` (u ~ N(0,I) → z) and the SIR weights stay
+    e^{D(z)} (importance weight of p_base·e^D w.r.t. p_base); MALA
+    targets base_logp + D. Pass both together.
 
     With ``return_diagnostics`` also returns a dict of scalar health
     metrics: the SIR pool's effective sample size and, when refining, the
     MALA acceptance rate and adapted step size.
     """
+    if (base_from is None) != (base_logp is None):
+        raise ValueError("base_from and base_logp come as a pair (the SIR "
+                         "pool and the MALA target must use the same base)")
     if d_apply is None:
         if refine_steps > 0:
             # Loud, not silent: MALA refines the SHAPED prior; under the
@@ -116,16 +131,21 @@ def sample_prior(key: jax.Array, n: int, z_dim: int, *, d_apply=None,
                              "shaped prior; this model has no latent "
                              "discriminator — drop --refine")
         z = jax.random.normal(key, (n, z_dim), jnp.float32)
+        if base_from is not None:
+            z = base_from(z)        # the model's own (unshaped) base draw
         return (z, {}) if return_diagnostics else z
     k_pool, k_sel, k_mala = jax.random.split(key, 3)
     pool = jax.random.normal(k_pool, (n * pool_factor, z_dim), jnp.float32)
+    if base_from is not None:
+        pool = base_from(pool)
     logw = d_apply(d_params, pool)
     idx = jax.random.categorical(k_sel, logw, shape=(n,))
     z = pool[idx]
     diag = {"sir_ess": sir_ess(logw), "sir_pool": n * pool_factor}
     if refine_steps > 0:
         z, rate, eps = langevin_refine(
-            k_mala, z, lambda zz: shaped_prior_logp(zz, d_apply, d_params),
+            k_mala, z, lambda zz: shaped_prior_logp(zz, d_apply, d_params,
+                                                    base_logp),
             refine_steps, init_step=init_step)
         diag.update(mala_accept_rate=rate, mala_step_size=eps,
                     mala_steps=refine_steps)
@@ -347,7 +367,8 @@ def expost_prior_logpdf(prior_moments):
 @functools.lru_cache(maxsize=32)
 def _sample_fn(model, n: int, z_dim: int, likelihood: str,
                image_channels: int, mode: str, d_apply,
-               refine_steps: int, expost: bool, model_prior: bool):
+               refine_steps: int, expost: bool, model_prior: bool,
+               model_base: bool = False):
     """Cached jitted decode pass: without the cache every generate_samples
     call builds a fresh closure, so jit re-traces (and reloads from the
     persistent compile cache) per call — ~475 ms of pure overhead on the
@@ -366,10 +387,24 @@ def _sample_fn(model, n: int, z_dim: int, likelihood: str,
                             method="prior_sample_from")
             diag = {}
         else:
+            base_from = base_logp = None
+            if model_base:
+                # shaped prior over the model's trainable base
+                # (model.prior='gaussian'): pool + MALA target ride
+                # N(μ,σ) instead of N(0,I).
+                def base_from(u):
+                    return model.apply({"params": params}, u,
+                                       method="prior_sample_from")
+
+                def base_logp(zz):
+                    return model.apply({"params": params}, zz,
+                                       method="prior_logpdf")
             z, diag = sample_prior(k_z, n, z_dim, d_apply=d_apply,
                                    d_params=d_params,
                                    refine_steps=refine_steps,
-                                   return_diagnostics=True)
+                                   return_diagnostics=True,
+                                   base_from=base_from,
+                                   base_logp=base_logp)
         out = model.apply({"params": params}, z, method="decode")
         return decoder_pixels(out, k_x, likelihood, image_channels,
                               mode), diag
@@ -381,7 +416,7 @@ def generate_samples(model, params, key: jax.Array, n: int, z_dim: int,
                      likelihood: str, image_channels: int, *,
                      d_apply=None, d_params=None, mode: str = "mean",
                      refine_steps: int = 0, prior_moments=None,
-                     model_prior: bool = False,
+                     model_prior: bool = False, model_base: bool = False,
                      return_diagnostics: bool = False):
     """Decode n prior samples → images in [0,1], one jitted batched pass
     (SIR + optional MALA refine + decode compile together).
@@ -390,7 +425,9 @@ def generate_samples(model, params, key: jax.Array, n: int, z_dim: int,
     latent draw to the ex-post aggregate-posterior Gaussian instead of
     the model's own (shaped) prior. ``model_prior`` draws from the
     model's own TRAINED prior instead (the flow prior,
-    model.prior='flow' — exact, no SIR/D machinery)."""
+    model.prior='flow' — exact, no SIR/D machinery). ``model_base``
+    keeps the SIR/D machinery but rides the model's trainable base
+    (model.prior='gaussian' composed with the adversarial D)."""
     if prior_moments is not None and refine_steps > 0:
         raise ValueError("refine_steps applies to the adversarially-shaped "
                          "prior; the ex-post prior is sampled exactly — "
@@ -400,9 +437,13 @@ def generate_samples(model, params, key: jax.Array, n: int, z_dim: int,
         raise ValueError("model_prior (the trained flow prior) is drawn "
                          "exactly from the model's params — it excludes "
                          "ex-post moments, a latent D, and refinement")
+    if model_base and (model_prior or prior_moments is not None):
+        raise ValueError("model_base (shaped prior over the trainable "
+                         "gaussian base) excludes model_prior and ex-post "
+                         "moments")
     fn = _sample_fn(model, n, z_dim, likelihood, image_channels, mode,
                     d_apply, refine_steps, prior_moments is not None,
-                    model_prior)
+                    model_prior, model_base)
     images, diag = fn(params, d_params, key, prior_moments)
     if return_diagnostics:
         return images, {k: (float(v) if hasattr(v, "shape") else v)

@@ -58,15 +58,27 @@ def _sampler_fn(cfg: Config, params, d_params, refine_steps: int = 0,
             z = expost_prior_sample(k_z, prior_moments,
                                     cfg.eval.batch_size, cfg.model.z_dim)
         elif use_adv:
+            base_from = base_logp = None
+            if getattr(cfg.model, "prior", "standard") == "gaussian":
+                # shaped prior over the trainable base: the SIR pool and
+                # any MALA target ride N(mu, sigma) (params baked in)
+                def base_from(u):
+                    return model.apply({"params": params}, u,
+                                       method="prior_sample_from")
+
+                def base_logp(zz):
+                    return model.apply({"params": params}, zz,
+                                       method="prior_logpdf")
             z = sample_prior(k_z, cfg.eval.batch_size, cfg.model.z_dim,
                              d_apply=lambda dp, zz: disc.apply(
                                  {"params": dp}, zz),
                              d_params=d_params,
-                             refine_steps=refine_steps)
-        elif (getattr(cfg.model, "prior", "standard") == "flow"
+                             refine_steps=refine_steps,
+                             base_from=base_from, base_logp=base_logp)
+        elif (getattr(cfg.model, "prior", "standard") in ("flow", "gaussian")
               and not force_standard):
-            # the model's own trained flow prior: exact inverse pass on
-            # base draws, params baked with the rest (models/flow_prior)
+            # the model's own trained prior (flow inverse / gaussian
+            # mu + sigma*u), params baked with the rest
             u = jax.random.normal(
                 k_z, (cfg.eval.batch_size, cfg.model.z_dim), jnp.float32)
             z = model.apply({"params": params}, u,
@@ -112,9 +124,9 @@ def _scorer_fn(cfg: Config, params, d_params=None, log_z: float = 0.0):
                                   jax.random.PRNGKey(seed),
                                   cfg.model.likelihood)
         elbo = recon - kl
-        if getattr(cfg.model, "prior", "standard") == "flow":
+        if getattr(cfg.model, "prior", "standard") in ("flow", "gaussian"):
             # swap the analytic-KL prior term N(0,I) for the trained
-            # flow: elbo = recon + log p_θ(z) − log q = (recon − kl)
+            # prior: elbo = recon + log p_θ(z) − log q = (recon − kl)
             # + (log p_θ(z) − log p0(z)) — same z, exact correction
             from apv_tpu.core.distributions import standard_gaussian_logpdf
             lp_flow = model.apply({"params": params}, z,
@@ -240,9 +252,17 @@ def export_scorer(cfg: Config, params, out_path: str | Path, *,
     if cfg.adversarial.enabled and d_params is not None:
         from apv_tpu.eval.iwae_eval import estimate_log_partition
         disc = make_latent_d(cfg.adversarial)
+        base_from = None
+        if getattr(cfg.model, "prior", "standard") == "gaussian":
+            # log Z under the trainable base (the shaped prior's base)
+            _m = build_model(cfg.model)
+
+            def base_from(u):
+                return _m.apply({"params": params}, u,
+                                method="prior_sample_from")
         log_z = float(estimate_log_partition(
             lambda dp, z: disc.apply({"params": dp}, z), d_params,
-            cfg.model.z_dim, jax.random.PRNGKey(0)))
+            cfg.model.z_dim, jax.random.PRNGKey(0), base_from=base_from))
     fn = _scorer_fn(cfg, params, d_params, log_z)
     if polymorphic_batch:
         (b,) = jax_export.symbolic_shape("b")

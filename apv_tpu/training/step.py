@@ -127,16 +127,22 @@ def _beta(cfg: Config, step: jax.Array) -> jax.Array:
 def make_train_fns(cfg: Config) -> TrainFns:
     model = build_model(cfg.model)
     adv = cfg.adversarial.enabled
-    flow_prior = getattr(cfg.model, "prior", "standard") == "flow"
+    model_prior = getattr(cfg.model, "prior", "standard")
+    flow_prior = model_prior == "flow"
+    gauss_prior = model_prior == "gaussian"
+    trainable_prior = flow_prior or gauss_prior
     if flow_prior and adv:
         raise ValueError(
             "model.prior='flow' and adversarial.enabled are mutually "
             "exclusive — each is a complete reading of log p(z) (the "
-            "flow IS the prior; the adversarial D shapes N(0,I))")
-    if flow_prior and cfg.train.free_bits > 0.0:
+            "flow IS the prior; the adversarial D shapes N(0,I)). "
+            "model.prior='gaussian' is the trainable base that DOES "
+            "compose with the adversarial D.")
+    if trainable_prior and cfg.train.free_bits > 0.0:
         raise ValueError(
-            "train.free_bits needs the analytic per-dimension KL; the "
-            "flow prior's KL term is a single-sample MC estimate")
+            "train.free_bits floors the per-dimension KL against N(0,I); "
+            f"model.prior={model_prior!r} trains its own prior (flow: MC "
+            "KL; gaussian: KL against a moving base) — unset one")
     # biadversarial = learned_prior's z-space D PLUS a pixel-space conv D
     # on decoded reconstructions; both live under d_params ({'latent':…,
     # 'pixel':…}) and share ONE optimizer/n_critic schedule, so the
@@ -241,7 +247,7 @@ def make_train_fns(cfg: Config) -> TrainFns:
                 encode, decode, params, x_in, x_target, key,
                 cfg.model.likelihood, cfg.train.iwae_k, beta,
                 cfg.train.iwae_grad,
-                prior_logpdf_p=prior_lp if flow_prior else None,
+                prior_logpdf_p=prior_lp if trainable_prior else None,
                 d_apply=d_fn,
                 adv_variant=cfg.adversarial.variant if adv else None,
                 adv_weight=cfg.adversarial.weight, px_apply=px_fn,
@@ -275,6 +281,15 @@ def make_train_fns(cfg: Config) -> TrainFns:
                 from apv_tpu.core import distributions as D
                 lq = jnp.sum(D.gaussian_logpdf(z, mean, logvar), axis=-1)
                 kl = lq - prior_lp(params, z)
+            elif gauss_prior:
+                # Analytic KL against the trainable base N(μ, σ²): the
+                # (μ, log σ) gradient of −β·KL is moment matching to the
+                # aggregate posterior — the ex-post diagonal fit, learned
+                # continuously (models/gaussian_prior.py).
+                from apv_tpu.core import distributions as D
+                gp = params["gaussian_prior"]
+                kl = jnp.sum(D.gaussian_kl(mean, logvar, gp["mu"],
+                                           2.0 * gp["log_sigma"]), axis=-1)
             else:
                 kl = ops.kl_standard(mean, logvar)
             aux = {"recon": jnp.mean(recon), "kl": jnp.mean(kl)}
@@ -340,6 +355,14 @@ def make_train_fns(cfg: Config) -> TrainFns:
             z_q = ops.reparam_sample(k_post, mean, logvar)
             z_q = jax.lax.stop_gradient(z_q)
         z_p = jax.random.normal(k_prior, z_q.shape, jnp.float32)
+        if gauss_prior:
+            # The D separates q(z) from the model's own base N(μ,σ), so
+            # the shaped prior is p*(z) ∝ N(μ,σ)·e^{D(z)}. The base is
+            # stop-gradiented: the D phase updates only d_params (the base
+            # trains in the G phase through the analytic KL).
+            z_p = model.apply(
+                {"params": jax.lax.stop_gradient(state.params)}, z_p,
+                method="prior_sample_from")
         if biadv and x_hat is None:
             out = decode(jax.lax.stop_gradient(state.params), z_q)
             x_hat = jax.lax.stop_gradient(L.likelihood_pixel_mean(
@@ -413,7 +436,10 @@ def make_train_fns(cfg: Config) -> TrainFns:
         key = jax.random.fold_in(state.rng, 0x7FFFFFFF)
         k_deq, k_z = jax.random.split(key)
         x_in, x_target = prepare_batch(cfg, batch, k_deq)
-        if flow_prior:
+        if trainable_prior:
+            # Single-sample MC KL against the model's own trained prior
+            # (exact enough for the validation metric; the gaussian
+            # training path uses the analytic form).
             from apv_tpu.core import distributions as D
             mean, logvar = encode(state.params, x_in)
             z = ops.reparam_sample(k_z, mean, logvar)

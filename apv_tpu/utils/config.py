@@ -45,10 +45,17 @@ class ModelConfig:
     # 1/sqrt(2) residual scaling — GroupNorm is ~15% of the measured step
     # and the reference's normalization is [I]-level (RESULTS.md roofline).
     norm: str = "group"
-    # standard | flow: the model's own prior. 'flow' trains a RealNVP
-    # prior p_th(z) jointly with the VAE (models/flow_prior.py) — the
-    # exact-likelihood counterpart of the adversarial prior (mutually
+    # standard | flow | gaussian: the model's own prior. 'flow' trains a
+    # RealNVP prior p_th(z) jointly with the VAE (models/flow_prior.py) —
+    # the exact-likelihood counterpart of the adversarial prior (mutually
     # exclusive with adversarial.enabled; enforced in training/step.py).
+    # 'gaussian' trains a diagonal N(mu, sigma) base
+    # (models/gaussian_prior.py) whose KL gradient moment-matches it to
+    # the aggregate posterior — the ex-post diagonal fit learned
+    # continuously; unlike 'flow' it COMPOSES with adversarial.enabled:
+    # p*(z) ∝ N(mu,sigma)·e^{D(z)} (the base carries q's dispersion, D
+    # shapes the residual — the training-time fix for the measured
+    # shaped-prior under-dispersion, RESULTS.md 800k A/B).
     prior: str = "standard"
     prior_flow_layers: int = 6                 # prior='flow' only
     prior_flow_hidden: int = 64
