@@ -104,6 +104,19 @@ run cifar_base_eval apv evaluate --preset iwae_eval \
   --set eval.iwae_k=1000 --set eval.max_examples=512
 quality_ab cifar_advprior_resnet
 
+# Trainable gaussian base composed with the D (round-4 feature): the
+# training-time counterpart of the measured-winning ex-post fit - the
+# direct attack on the shaped prior's under-dispersion (VERDICT weak-3).
+run cifar_gb_train apv train --preset cifar_advprior_resnet --overwrite \
+  --set name=cifar_gb_100k --set model.prior=gaussian
+run cifar_gb_eval apv evaluate --preset iwae_eval \
+  --set checkpoint_of=cifar_gb_100k --set name=cifar_gb_100k \
+  --set eval.iwae_k=1000 --set eval.max_examples=512
+quality_ab cifar_gb_100k
+run cifar_gb_scatter apv sample --preset cifar_advprior_resnet \
+  --set name=cifar_gb_100k --set model.prior=gaussian -n 512 \
+  --visualize latent --out docs/latent_scatter_cifar_gb_100k.png
+
 run cifar_dcos_train apv train --preset cifar_advprior_resnet --overwrite \
   --set name=cifar_dcos_100k --set adversarial.d_lr_schedule=cosine
 run cifar_dcos_eval apv evaluate --preset iwae_eval \
