@@ -104,6 +104,24 @@ run cifar_base_eval apv evaluate --preset iwae_eval \
   --set eval.iwae_k=1000 --set eval.max_examples=512
 quality_ab cifar_advprior_resnet
 
+# Trained flow prior at the FULL flagship schedule (VERDICT r3 item 2's
+# "full-schedule run"): its 3k/10k gates BEAT the adversarial baseline
+# (2.382 vs 2.495; 1.128 vs 1.315 bits/dim) - if that holds at 100k this
+# is the new quality headline. Exact NLL (log Z = 0).
+run cifar_flow_train apv train --preset cifar_advprior_resnet --overwrite \
+  --set name=cifar_flow_100k --set adversarial.enabled=false \
+  --set model.prior=flow
+run cifar_flow_eval apv evaluate --preset iwae_eval \
+  --set checkpoint_of=cifar_flow_100k --set name=cifar_flow_100k \
+  --set eval.iwae_k=1000 --set eval.max_examples=512
+run cifar_flow_q apv sample --preset cifar_advprior_resnet \
+  --set name=cifar_flow_100k --set adversarial.enabled=false \
+  --set model.prior=flow -n 64 --quality 2048 --seed 0 --mode sample
+run cifar_flow_scatter apv sample --preset cifar_advprior_resnet \
+  --set name=cifar_flow_100k --set adversarial.enabled=false \
+  --set model.prior=flow -n 512 \
+  --visualize latent --out docs/latent_scatter_cifar_flow_100k.png
+
 # Trainable gaussian base composed with the D (round-4 feature): the
 # training-time counterpart of the measured-winning ex-post fit - the
 # direct attack on the shaped prior's under-dispersion (VERDICT weak-3).
