@@ -190,7 +190,7 @@ def sample(config: str | Config = "mnist_vae", *,
            mode: str = "mean", seed: int = 0,
            out_path: str | None = None, quality_n: int = 0,
            refine: int = 0, prior: str = "auto", gmm_k: int = 10,
-           flow_steps: int = 2000):
+           flow_steps: int = 2000, temperature: float = 1.0):
     """Decode n prior samples; writes a PNG grid, returns the images.
 
     ``quality_n > 0`` additionally computes generated-vs-real sample-quality
@@ -249,7 +249,8 @@ def sample(config: str | Config = "mnist_vae", *,
         cfg.model.image_shape[2], d_apply=d_apply,
         d_params=d_params, mode=mode, refine_steps=refine,
         prior_moments=prior_moments, model_prior=model_prior,
-        model_base=model_base, return_diagnostics=True)
+        model_base=model_base, temperature=temperature,
+        return_diagnostics=True)
     if diag:
         print(json.dumps({"sampler_diagnostics": diag}))
     path = out_path or Path(cfg.results_dir) / cfg.name / "samples.png"
@@ -262,7 +263,8 @@ def sample(config: str | Config = "mnist_vae", *,
                                  refine_steps=refine,
                                  prior_moments=prior_moments,
                                  model_prior=model_prior,
-                                 model_base=model_base)
+                                 model_base=model_base,
+                                 temperature=temperature)
         metrics["prior"] = prior
         _write_json(cfg, "sample_quality.json", metrics)
         print(json.dumps(metrics, indent=2))

@@ -102,6 +102,14 @@ def main(argv: list[str] | None = None) -> int:
                                "shaped prior after the SIR draw (0 = SIR "
                                "only); use when a converged D collapses "
                                "the SIR pool's effective sample size")
+    p_sample.add_argument("--temperature", type=float, default=1.0,
+                          metavar="T",
+                          help="base-draw temperature for the model's own "
+                               "trained prior (model.prior=flow/gaussian): "
+                               "u ~ N(0, T²I) before the inverse pass "
+                               "- T<1 trades flow-tail outliers for "
+                               "sample typicality (Glow app. D; measured "
+                               "on cifar_flow_100k, RESULTS.md)")
     p_sample.add_argument("--quality", type=int, default=0, metavar="N",
                           help="also compute generated-vs-real sample-"
                                "quality distances over N samples (random-"
@@ -223,7 +231,8 @@ def main(argv: list[str] | None = None) -> int:
                        mode=args.mode, seed=args.seed, out_path=args.out,
                        quality_n=args.quality, refine=args.refine,
                        prior=args.prior, gmm_k=args.gmm_k,
-                       flow_steps=args.flow_steps)
+                       flow_steps=args.flow_steps,
+                       temperature=args.temperature)
             print("wrote sample grid")
     elif args.command == "ood":
         result = api.ood_score(args.preset, overrides=args.overrides,

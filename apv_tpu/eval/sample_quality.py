@@ -155,7 +155,8 @@ def sample_quality(cfg, params, d_params=None, *, n: int = 2048,
                    batch_size: int = 256, mode: str = "sample",
                    refine_steps: int = 0, prior_moments=None,
                    model_prior: bool | None = None,
-                   model_base: bool | None = None) -> dict:
+                   model_base: bool | None = None,
+                   temperature: float = 1.0) -> dict:
     """Generated-vs-real distances for a checkpoint (config-5 suite
     extension; the reference's exact sample-quality reporting is
     unreadable — SURVEY.md §0 — so this ships as a monitoring metric).
@@ -223,7 +224,8 @@ def sample_quality(cfg, params, d_params=None, *, n: int = 2048,
                                     refine_steps=refine_steps,
                                     prior_moments=prior_moments,
                                     model_prior=model_prior,
-                                    model_base=model_base)
+                                    model_base=model_base,
+                                    temperature=temperature)
             f_fake.append(np.asarray(feat(fake)))
             f_real.append(np.asarray(feat(real[i:i + b])))
     f_real = np.concatenate(f_real)

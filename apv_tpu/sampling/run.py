@@ -368,7 +368,7 @@ def expost_prior_logpdf(prior_moments):
 def _sample_fn(model, n: int, z_dim: int, likelihood: str,
                image_channels: int, mode: str, d_apply,
                refine_steps: int, expost: bool, model_prior: bool,
-               model_base: bool = False):
+               model_base: bool = False, temperature: float = 1.0):
     """Cached jitted decode pass: without the cache every generate_samples
     call builds a fresh closure, so jit re-traces (and reloads from the
     persistent compile cache) per call — ~475 ms of pure overhead on the
@@ -381,8 +381,15 @@ def _sample_fn(model, n: int, z_dim: int, likelihood: str,
             z = expost_prior_sample(k_z, prior_moments, n, z_dim)
             diag = {}
         elif model_prior:
-            # the model's own trained (flow) prior: exact inverse pass
-            u = jax.random.normal(k_z, (n, z_dim), jnp.float32)
+            # the model's own trained (flow) prior: exact inverse pass.
+            # temperature < 1 truncates the base draw (u ~ N(0, T^2 I) -
+            # the standard flow sampling knob, Glow/Kingma & Dhariwal
+            # 2018 app. D): the flow's inverse amplifies base tails into
+            # far z outliers (measured: cifar_flow_100k scatter spans
+            # +-500 where q spans +-150, blowing up the Frechet), and
+            # tempering trades that tail mass for sample typicality.
+            u = temperature * jax.random.normal(k_z, (n, z_dim),
+                                                jnp.float32)
             z = model.apply({"params": params}, u,
                             method="prior_sample_from")
             diag = {}
@@ -417,6 +424,7 @@ def generate_samples(model, params, key: jax.Array, n: int, z_dim: int,
                      d_apply=None, d_params=None, mode: str = "mean",
                      refine_steps: int = 0, prior_moments=None,
                      model_prior: bool = False, model_base: bool = False,
+                     temperature: float = 1.0,
                      return_diagnostics: bool = False):
     """Decode n prior samples → images in [0,1], one jitted batched pass
     (SIR + optional MALA refine + decode compile together).
@@ -441,9 +449,14 @@ def generate_samples(model, params, key: jax.Array, n: int, z_dim: int,
         raise ValueError("model_base (shaped prior over the trainable "
                          "gaussian base) excludes model_prior and ex-post "
                          "moments")
+    if temperature != 1.0 and not model_prior:
+        raise ValueError("temperature applies to the model's own trained "
+                         "prior (model.prior='flow'/'gaussian' drawn via "
+                         "prior_sample_from) - other priors are drawn at "
+                         "their fitted scale")
     fn = _sample_fn(model, n, z_dim, likelihood, image_channels, mode,
                     d_apply, refine_steps, prior_moments is not None,
-                    model_prior, model_base)
+                    model_prior, model_base, float(temperature))
     images, diag = fn(params, d_params, key, prior_moments)
     if return_diagnostics:
         return images, {k: (float(v) if hasattr(v, "shape") else v)

@@ -244,3 +244,31 @@ def test_latent_scatter_flow_prior():
                                jax.random.PRNGKey(2), cfg.model.z_dim)
     assert "flow_prior" in data and "shaped_prior" not in data
     assert data["flow_prior"].shape == (32, 2)
+
+
+def test_temperature_scales_model_prior_draws():
+    """--temperature: the base draw is u ~ N(0, T²I) before the inverse
+    pass — T changes the output at identical seed, T=1 reproduces the
+    default path, and non-model-prior callers reject T≠1 loudly."""
+    from apv_tpu.sampling.run import generate_samples
+    from apv_tpu.training.step import make_train_fns
+
+    cfg = _tiny_flow_cfg()
+    fns = make_train_fns(cfg)
+    state = fns.init_fn(jax.random.PRNGKey(0))
+    kw = dict(likelihood=cfg.model.likelihood, image_channels=1,
+              model_prior=True, mode="mean")
+    key = jax.random.PRNGKey(7)
+    img_t1 = generate_samples(fns.model, state.params, key, 8,
+                              cfg.model.z_dim, temperature=1.0, **kw)
+    img_default = generate_samples(fns.model, state.params, key, 8,
+                                   cfg.model.z_dim, **kw)
+    img_t05 = generate_samples(fns.model, state.params, key, 8,
+                               cfg.model.z_dim, temperature=0.5, **kw)
+    np.testing.assert_array_equal(np.asarray(img_t1),
+                                  np.asarray(img_default))
+    assert not np.array_equal(np.asarray(img_t05), np.asarray(img_t1))
+    with pytest.raises(ValueError, match="temperature"):
+        generate_samples(fns.model, state.params, key, 8, cfg.model.z_dim,
+                         likelihood=cfg.model.likelihood, image_channels=1,
+                         temperature=0.5)
