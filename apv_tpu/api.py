@@ -180,7 +180,13 @@ def evaluate(config: str | Config = "iwae_eval", *,
         result.update(posterior_activity(cfg, _p(state, cfg),
                                          dataset=dataset))
     out = {k_: v for k_, v in result.items() if k_ != "per_sample"}
-    _write_json(cfg, "eval.json", out)
+    # Non-default priors write suffixed artifacts (eval_expost.json, ...)
+    # so rescoring under another prior can never silently overwrite the
+    # checkpoint's own eval.json before it is committed (round-4 lesson:
+    # the gb shaped headline lived only in prose after an expost rerun
+    # clobbered the single-file name).
+    suffix = "" if prior == "model" else f"_{prior}"
+    _write_json(cfg, f"eval{suffix}.json", out)
     return result
 
 
@@ -253,7 +259,14 @@ def sample(config: str | Config = "mnist_vae", *,
         return_diagnostics=True)
     if diag:
         print(json.dumps({"sampler_diagnostics": diag}))
-    path = out_path or Path(cfg.results_dir) / cfg.name / "samples.png"
+    # Non-default priors get suffixed artifact names (samples_expost.png,
+    # sample_quality_expost.json, ...) so an A/B over --prior can never
+    # overwrite the shaped-prior headline files pre-commit (round-4
+    # evidence-retention lesson; snapshot_watcher.py did this externally,
+    # now the entry point owns it).
+    suffix = "" if prior == "auto" else f"_{prior}"
+    path = (out_path
+            or Path(cfg.results_dir) / cfg.name / f"samples{suffix}.png")
     save_image_grid(images, path)
     if quality_n > 0:
         from apv_tpu.eval.sample_quality import sample_quality
@@ -266,7 +279,7 @@ def sample(config: str | Config = "mnist_vae", *,
                                  model_base=model_base,
                                  temperature=temperature)
         metrics["prior"] = prior
-        _write_json(cfg, "sample_quality.json", metrics)
+        _write_json(cfg, f"sample_quality{suffix}.json", metrics)
         print(json.dumps(metrics, indent=2))
     return images
 
@@ -514,7 +527,15 @@ def info(name: str | None = None, *,
     out = _summary(run)
     out["checkpoint_steps"] = _ckpt_steps_on_disk(run / "checkpoints")
     out["best"] = _read(run / "best.json")
-    for f in ("eval.json", "ood.json", "sample_quality.json"):
+    # Default names plus the prior-suffixed variants evaluate/sample
+    # write for --prior != default (eval_expost.json, sample_quality_
+    # expost_flow.json, ...) — sorted so introspection order is stable.
+    result_files = ["eval.json", "ood.json", "sample_quality.json"]
+    result_files += sorted(
+        p.name for p in run.glob("*.json")
+        if (p.name.startswith(("eval_", "sample_quality_", "ood_"))
+            and p.name not in result_files))
+    for f in result_files:
         data = _read(run / f)
         if data is not None:
             out[f.removesuffix(".json")] = data

@@ -398,12 +398,26 @@ def _sample_fn(model, n: int, z_dim: int, likelihood: str,
             if model_base:
                 # shaped prior over the model's trainable base
                 # (model.prior='gaussian'): pool + MALA target ride
-                # N(μ,σ) instead of N(0,I).
+                # N(μ,σ) instead of N(0,I). temperature < 1 tempers the
+                # base draw (z = μ + T·σ·u — the gaussian counterpart of
+                # the flow's truncated-base knob): the SIR pool and the
+                # MALA target both ride the tempered base N(μ, T²σ²) so
+                # the two stay the same distribution.
                 def base_from(u):
-                    return model.apply({"params": params}, u,
+                    return model.apply({"params": params},
+                                       temperature * u,
                                        method="prior_sample_from")
 
                 def base_logp(zz):
+                    if temperature != 1.0:
+                        # log N(z; μ, T²σ²) = log N(μ + (z−μ)/T; μ, σ²)
+                        # + const — MALA only needs ∇, so the additive
+                        # −Z·log T normalizer is dropped. μ is recovered
+                        # as prior_sample_from(0).
+                        mu = model.apply({"params": params},
+                                         jnp.zeros_like(zz),
+                                         method="prior_sample_from")
+                        zz = mu + (zz - mu) / temperature
                     return model.apply({"params": params}, zz,
                                        method="prior_logpdf")
             z, diag = sample_prior(k_z, n, z_dim, d_apply=d_apply,
@@ -449,7 +463,7 @@ def generate_samples(model, params, key: jax.Array, n: int, z_dim: int,
         raise ValueError("model_base (shaped prior over the trainable "
                          "gaussian base) excludes model_prior and ex-post "
                          "moments")
-    if temperature != 1.0 and not model_prior:
+    if temperature != 1.0 and not (model_prior or model_base):
         raise ValueError("temperature applies to the model's own trained "
                          "prior (model.prior='flow'/'gaussian' drawn via "
                          "prior_sample_from) - other priors are drawn at "

@@ -142,6 +142,56 @@ def test_sampling_rides_the_learned_base():
         sample_prior(jax.random.PRNGKey(0), 8, 4, base_from=base_from)
 
 
+def test_temperature_tempers_the_gaussian_base():
+    """--temperature on a gaussian-base checkpoint: z = μ + T·σ·u
+    (round-4 weak-4 fix — the guard used to reject T≠1 on gb while the
+    help text advertised it). T=1 reproduces the default path bit-exact,
+    T<1 shrinks the draw dispersion around μ, and MALA refinement runs
+    against the consistently-tempered base target."""
+    from apv_tpu.models import d_apply_fn, make_latent_d
+    from apv_tpu.sampling.run import generate_samples
+
+    cfg = tiny_config("mnist_advprior", **{"model.prior": "gaussian"})
+    fns = make_train_fns(cfg)
+    state = fns.init_fn(jax.random.PRNGKey(0))
+    # move the base off N(0,I) so tempering is observable in z-space
+    params = state.params.copy()
+    gp = dict(params["gaussian_prior"])
+    gp["mu"] = jnp.full_like(gp["mu"], 2.0)
+    gp["log_sigma"] = jnp.full_like(gp["log_sigma"], 0.5)
+    params["gaussian_prior"] = gp
+    kw = dict(likelihood=cfg.model.likelihood, image_channels=1,
+              d_apply=d_apply_fn(make_latent_d(cfg.adversarial)),
+              d_params=state.d_params, model_base=True, mode="mean")
+    key = jax.random.PRNGKey(3)
+    img_t1 = generate_samples(fns.model, params, key, 8, cfg.model.z_dim,
+                              temperature=1.0, **kw)
+    img_default = generate_samples(fns.model, params, key, 8,
+                                   cfg.model.z_dim, **kw)
+    img_t03 = generate_samples(fns.model, params, key, 8, cfg.model.z_dim,
+                               temperature=0.3, **kw)
+    np.testing.assert_array_equal(np.asarray(img_t1),
+                                  np.asarray(img_default))
+    assert not np.array_equal(np.asarray(img_t03), np.asarray(img_t1))
+    # z-space check: tempered draws concentrate around μ=2, σ_eff = T·σ
+    from apv_tpu.sampling.run import sample_prior
+    T, sig = 0.3, float(jnp.exp(0.5))
+
+    def base_from(u):
+        return fns.model.apply({"params": params}, T * u,
+                               method="prior_sample_from")
+
+    z = sample_prior(jax.random.PRNGKey(5), 4096, cfg.model.z_dim,
+                     base_from=base_from, base_logp=lambda zz: zz.sum(-1))
+    assert abs(float(jnp.mean(z)) - 2.0) < 0.05
+    assert abs(float(jnp.std(z)) - T * sig) < 0.05
+    # refine path composes with tempering without error
+    img_ref = generate_samples(fns.model, params, jax.random.PRNGKey(9), 4,
+                               cfg.model.z_dim, refine_steps=2,
+                               temperature=0.5, **kw)
+    assert np.isfinite(np.asarray(img_ref)).all()
+
+
 def test_train_eval_sample_e2e_smoke():
     """Gaussian+adversarial end to end: train a few steps, evaluate under
     the composed prior, draw samples through the model_base path."""

@@ -55,6 +55,44 @@ def test_full_pipeline_config2_adversarial(tmp_path):
     assert res["adversarial_prior"] is True
 
 
+def test_nondefault_priors_write_suffixed_artifacts(tmp_path):
+    """--prior != default must never overwrite the default-prior artifact
+    names (round-4 evidence-retention lesson: an expost rerun clobbered
+    the gb shaped-prior headline's sample_quality.json pre-commit).
+    evaluate → eval_<prior>.json, sample → samples_<prior>.png +
+    sample_quality_<prior>.json, and `apv info` surfaces the suffixed
+    files."""
+    import json
+
+    cfg = tiny_config("mnist_vae", tmp_dir=str(tmp_path), **{
+        "train.steps": 20, "train.checkpoint_every": 20,
+        "train.eval_every": 0, "data.synthetic_size": 128})
+    apv_tpu.train(cfg)
+    run = tmp_path / cfg.name
+
+    apv_tpu.evaluate(cfg, k=4, activity=False)
+    apv_tpu.evaluate(cfg, k=4, activity=False, prior="expost")
+    assert (run / "eval.json").exists()
+    assert (run / "eval_expost.json").exists()
+    assert json.loads((run / "eval.json").read_text())["prior"] == "model"
+    assert (json.loads((run / "eval_expost.json").read_text())["prior"]
+            == "expost")
+
+    apv_tpu.sample(cfg, n=4, quality_n=16)
+    default_q = (run / "sample_quality.json").read_text()
+    apv_tpu.sample(cfg, n=4, quality_n=16, prior="expost")
+    assert (run / "samples.png").exists()
+    assert (run / "samples_expost.png").exists()
+    assert (run / "sample_quality_expost.json").exists()
+    # the default-prior artifact is untouched by the expost rerun
+    assert (run / "sample_quality.json").read_text() == default_q
+
+    info = apv_tpu.info(cfg.name, results_dir=str(tmp_path))
+    assert info["sample_quality"]["prior"] == "auto"
+    assert info["sample_quality_expost"]["prior"] == "expost"
+    assert info["eval_expost"]["prior"] == "expost"
+
+
 def test_result_writes_are_process0_only(tmp_path, monkeypatch):
     """Under jax.distributed every process runs the eval compute, but only
     process 0 may persist eval.json/ood.json — concurrent writers to one
