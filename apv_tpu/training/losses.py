@@ -198,6 +198,37 @@ def free_bits_kl(mean: jax.Array, logvar: jax.Array,
     return jnp.sum(jnp.maximum(kd, free_bits))
 
 
+def free_bits_kl_gaussian_base(mean: jax.Array, logvar: jax.Array,
+                               mu_p: jax.Array, logvar_p: jax.Array,
+                               free_bits: float) -> jax.Array:
+    """Per-dim free bits against the trainable Gaussian base
+    (model.prior='gaussian'): identical semantics to :func:`free_bits_kl`
+    but with the exact per-dim KL(q‖N(μ_p, σ_p²)) — the base's analytic
+    KL decomposes per dimension, so the standard floor applies with no
+    approximation. For a floored dim BOTH gradients vanish: the encoder
+    stops pruning it AND the base's moment match stops chasing its
+    collapsed statistics (the base should not learn to reproduce a
+    collapse the floor exists to prevent)."""
+    from apv_tpu.core.distributions import gaussian_kl
+    kd = jnp.mean(gaussian_kl(mean, logvar, mu_p, logvar_p), axis=0)  # [Z]
+    return jnp.sum(jnp.maximum(kd, free_bits))
+
+
+def free_information_kl(kl_mc: jax.Array, z_dim: int,
+                        free_bits: float) -> jax.Array:
+    """Total-KL floor for priors with NO per-dim KL decomposition
+    (model.prior='flow': the MC KL log q(z|x) − log p_θ(z) is a joint
+    quantity — the flow's marginals are intractable). Floors the
+    batch-mean TOTAL KL at z_dim·λ ("free information", Lossy-VAE
+    lineage arXiv 1611.02731 §3.3 / soft free bits): below the floor the
+    whole KL pull (encoder shrinkage AND the flow's MLE chase of the
+    collapsed aggregate posterior) vanishes, leaving only reconstruction
+    gradients to re-inflate q. Coarser than the per-dim floor — the
+    budget can concentrate in few dims — but it is the exact-density
+    analogue available without marginalizing the flow."""
+    return jnp.maximum(jnp.mean(kl_mc), z_dim * free_bits)
+
+
 def iwae_objective(encode: Callable, decode: Callable, params: Any,
                    x_in: jax.Array, x_target: jax.Array, key: jax.Array,
                    likelihood: str, k: int, beta: jax.Array,

@@ -125,8 +125,26 @@ class TrainConfig:
     # Free bits (nats per latent dim, 0 = off): the TRAINING objective
     # floors the minibatch-mean per-dim KL at this value before summing
     # (losses.free_bits_kl), removing the pruning pressure on low-KL units.
-    # Reported kl/elbo metrics and IWAE eval always use the true KL.
+    # Prior-family-aware: model.prior='gaussian' floors the exact per-dim
+    # KL against the trainable base; 'flow' floors the batch-mean TOTAL
+    # MC-KL at z_dim·λ (free information — per-dim KL is intractable
+    # through the flow). Reported kl/elbo metrics and IWAE eval always
+    # use the true KL.
     free_bits: float = 0.0
+    # Flow-prior inverse-dispersion penalty (model.prior='flow' only,
+    # 0 = off): adds λ·max(0, m_s/m_q − 1)² to the elbo objective, where
+    # m_s = E_u~N(0,I)[‖flow⁻¹(u)‖²] (the second moment of the flow's OWN
+    # samples at typical base draws) and m_q = stop-grad E_B[‖z_q‖²] (the
+    # batch posterior's). One-sided and self-calibrating: penalizes only
+    # over-dispersion of the sampler relative to the aggregate posterior.
+    # Targets the measured cifar_flow_100k failure (RESULTS.md): MLE is
+    # mass-covering, so the trained inverse amplifies TYPICAL base draws
+    # into z far outside q's bulk (±500 vs ±150 scatter; Fréchet 10.97)
+    # while NLL stays excellent — --temperature (base truncation) was
+    # measured-neutral because the expansion lives in the map's bulk, not
+    # the base's tails. λ rides the same loss_reduction scale as the KL:
+    # with 'sum', λ≈z_dim gives the penalty KL-comparable gradients.
+    flow_dispersion_penalty: float = 0.0
     # elbo | iwae: the training objective. 'iwae' trains on the k-sample
     # importance-weighted bound (IWAE paper, arXiv 1509.00519 — the eval
     # estimator's bound used as the objective, with small k): the k samples

@@ -675,6 +675,119 @@ def test_free_bits_training_removes_kl_pull():
         hist0[-1]["kl"], hist1[-1]["kl"])
 
 
+def test_free_bits_gaussian_base_floor():
+    """free_bits_kl_gaussian_base == Σ_j max(λ, E_B[KL_j(q‖N(μ_p,σ_p²))]);
+    a binding floor kills the gradient into BOTH the encoder stats and the
+    base params (the base must not chase a collapse the floor prevents)."""
+    from apv_tpu.training import losses as L
+
+    rng = np.random.default_rng(5)
+    mean = jnp.asarray(rng.normal(0, 0.5, (16, 6)), jnp.float32)
+    logvar = jnp.asarray(rng.normal(0, 0.3, (16, 6)), jnp.float32)
+    mu_p = jnp.asarray(rng.normal(0, 1.0, (6,)), jnp.float32)
+    logvar_p = jnp.asarray(rng.normal(0, 0.4, (6,)), jnp.float32)
+    m, lv = np.asarray(mean, np.float64), np.asarray(logvar, np.float64)
+    mp, lvp = np.asarray(mu_p, np.float64), np.asarray(logvar_p, np.float64)
+    kd = (0.5 * (lvp - lv + (np.exp(lv) + (m - mp) ** 2) / np.exp(lvp)
+                 - 1.0)).mean(axis=0)
+    fb = float(np.median(kd))
+    np.testing.assert_allclose(
+        float(L.free_bits_kl_gaussian_base(mean, logvar, mu_p, logvar_p,
+                                           fb)),
+        np.maximum(kd, fb).sum(), rtol=1e-5)
+    big = float(kd.max()) * 2 + 1.0
+    grads = jax.grad(
+        lambda *a: L.free_bits_kl_gaussian_base(*a, big),
+        argnums=(0, 1, 2, 3))(mean, logvar, mu_p, logvar_p)
+    for g in grads:
+        assert float(jnp.abs(g).max()) == 0.0
+
+
+def test_free_information_floor_flow():
+    """free_information_kl == max(E_B[KL], z_dim·λ): exact value, zero
+    gradient when the floor binds, true mean KL when it doesn't."""
+    from apv_tpu.training import losses as L
+
+    kl = jnp.asarray([1.0, 2.0, 3.0], jnp.float32)       # per-example MC KL
+    np.testing.assert_allclose(
+        float(L.free_information_kl(kl, 4, 0.1)), 2.0)   # floor 0.4 < mean
+    np.testing.assert_allclose(
+        float(L.free_information_kl(kl, 4, 10.0)), 40.0)  # floor binds
+    g = jax.grad(lambda k: L.free_information_kl(k, 4, 10.0))(kl)
+    assert float(jnp.abs(g).max()) == 0.0
+    g2 = jax.grad(lambda k: L.free_information_kl(k, 4, 0.1))(kl)
+    np.testing.assert_allclose(np.asarray(g2), np.full(3, 1 / 3), rtol=1e-6)
+
+
+def test_free_bits_composes_with_trainable_priors():
+    """round-5: the round-4 blanket ban is lifted — flow and gaussian
+    priors train WITH free_bits and stay finite. Sharp invariant: the
+    trainable prior's ONLY gradient source is the KL term, so a binding
+    floor freezes its params exactly at init (the prior cannot chase a
+    collapse the floor prevents), while the unfloored run moves them."""
+    for prior, key, extra in (
+            ("flow", "flow_prior", {"adversarial.enabled": False,
+                                    "model.prior_flow_layers": 2,
+                                    "model.prior_flow_hidden": 8}),
+            ("gaussian", "gaussian_prior", {})):
+        base = tiny_config("mnist_advprior", **{"model.prior": prior,
+                                                **extra})
+        batch = _synthetic_batch(base, base.train.batch_size)
+        s0, hist0 = _run_steps(base, 30, batch)
+        fb = tiny_config("mnist_advprior", **{"model.prior": prior,
+                                              "train.free_bits": 50.0,
+                                              **extra})
+        s1, hist1 = _run_steps(fb, 30, batch)
+        assert all(np.isfinite(h["loss"]) for h in hist1), prior
+        # fb is gradient-only: identical first-step reported (true) KL
+        np.testing.assert_allclose(hist0[0]["kl"], hist1[0]["kl"],
+                                   rtol=1e-5)
+        init = make_train_fns(fb).init_fn(jax.random.PRNGKey(0))
+        moved = [float(jnp.abs(a - b).max()) for a, b in zip(
+            jax.tree.leaves(s0.params[key]),
+            jax.tree.leaves(init.params[key]))]
+        frozen = [float(jnp.abs(a - b).max()) for a, b in zip(
+            jax.tree.leaves(s1.params[key]),
+            jax.tree.leaves(init.params[key]))]
+        assert max(moved) > 1e-6, (prior, moved)
+        assert max(frozen) == 0.0, (prior, frozen)
+
+
+def test_flow_dispersion_penalty_shrinks_sampler_bulk():
+    """train.flow_dispersion_penalty (round-5 flow-generation fix): the
+    penalized run's flow samples at fixed base draws disperse LESS than
+    the unpenalized run's (direction check of the regularizer), metrics
+    expose the m_s/m_q ratio, and misconfigurations are rejected loudly."""
+    import pytest
+
+    extra = {"adversarial.enabled": False, "model.prior": "flow",
+             "model.prior_flow_layers": 2, "model.prior_flow_hidden": 8}
+    base = tiny_config("mnist_advprior", **extra)
+    batch = _synthetic_batch(base, base.train.batch_size)
+    s0, h0 = _run_steps(base, 40, batch)
+    pen = tiny_config("mnist_advprior",
+                      **{"train.flow_dispersion_penalty": 1e4, **extra})
+    s1, h1 = _run_steps(pen, 40, batch)
+    assert "flow_dispersion" in h1[-1] and "flow_dispersion" not in h0[-1]
+    assert all(np.isfinite(h["loss"]) for h in h1)
+    fns = make_train_fns(base)
+    u = jax.random.normal(jax.random.PRNGKey(11), (256, base.model.z_dim))
+    disp = []
+    for s in (s0, s1):
+        z = fns.model.apply({"params": s.params}, u,
+                            method="prior_sample_from")
+        disp.append(float(jnp.mean(jnp.sum(jnp.square(z), axis=-1))))
+    assert disp[1] <= disp[0] + 1e-6, disp
+    with pytest.raises(ValueError, match="flow_dispersion_penalty"):
+        make_train_fns(tiny_config(
+            "mnist_advprior", **{"train.flow_dispersion_penalty": 1.0}))
+    with pytest.raises(ValueError, match="flow_dispersion_penalty"):
+        make_train_fns(tiny_config(
+            "mnist_advprior", **{"train.flow_dispersion_penalty": 1.0,
+                                 "train.objective": "iwae",
+                                 "train.iwae_k": 2, **extra}))
+
+
 def test_r1_penalty_closed_form():
     """r1_penalty matches the hand-computed value for a linear 'D':
     D(x) = w·x has ∇_x D = w everywhere, so R1 = ½‖w‖² exactly, for both
