@@ -21,6 +21,18 @@ the log-partition MC from the learned base; sampling SIRs a base pool.
 Zero-init (μ=0, log σ=0) makes the model EXACTLY the standard-prior
 model at initialization — every path (training, eval, OOD, sampling,
 export) reproduces prior='standard' numbers until the base moves.
+
+Known approximation (deliberate; round-4 advisor finding): with
+adversarial shaping on, the normalizer Z(μ,σ) = E_{N(μ,σ)}[e^{D(z)}]
+depends on the base params, but the G-phase gradient for (μ, log σ) is
+the analytic-KL moment match only — no −∂ log Z/∂(μ,σ) term. At the
+density-ratio game's optimum D ≡ const so that term vanishes; away from
+it the training objective is a biased bound w.r.t. the base. Eval and
+serving re-estimate log Z under the CURRENT base by MC
+(eval/iwae_eval.estimate_log_partition with base_from), so every
+REPORTED NLL is consistent — only the training-time pull on (μ, σ)
+omits the term. Don't over-read small A/B NLL deltas against this
+training bias.
 """
 
 from __future__ import annotations

@@ -460,10 +460,28 @@ def make_train_fns(cfg: Config) -> TrainFns:
             # so re-engagement is immediate.
             floor = L.d_loss_floor(cfg.adversarial.label_smoothing)
             chance = 2.0 * jnp.log(2.0)
-            factor = jnp.clip((d_metrics["d_loss"] - floor)
-                              / (chance - floor), 0.0, 1.0)
-            updates = jax.tree.map(lambda u: u * factor, updates)
-            d_metrics = dict(d_metrics, d_lr_factor=factor)
+
+            def _throttle(loss):
+                return jnp.clip((loss - floor) / (chance - floor), 0.0, 1.0)
+
+            factor = _throttle(d_metrics["d_loss"])
+            if biadv:
+                # Each D gets its OWN factor from its OWN loss (both BCEs
+                # share the smoothing floor): a saturated latent D must
+                # not freeze the pixel D's updates, and vice versa
+                # (round-4 advisor finding).
+                px_factor = _throttle(d_metrics["px_d_loss"])
+                updates = {
+                    "latent": jax.tree.map(lambda u: u * factor,
+                                           updates["latent"]),
+                    "pixel": jax.tree.map(lambda u: u * px_factor,
+                                          updates["pixel"]),
+                }
+                d_metrics = dict(d_metrics, d_lr_factor=factor,
+                                 px_d_lr_factor=px_factor)
+            else:
+                updates = jax.tree.map(lambda u: u * factor, updates)
+                d_metrics = dict(d_metrics, d_lr_factor=factor)
         d_params = optax.apply_updates(state.d_params, updates)
         return (state.replace(d_params=d_params, d_opt_state=d_opt_state),
                 d_metrics)

@@ -398,12 +398,51 @@ def _ood_suite() -> Config:
                                ood=OODConfig())
 
 
+# ---------------------------------------------------------------------------
+# Measured-best presets (beyond the reference surface — round-4/5 gates).
+# The five [B]-faithful presets above stay the defaults; these two make the
+# measured winners reachable without mining RESULTS.md for --set
+# incantations (round-4 verdict weak-6).
+# ---------------------------------------------------------------------------
+
+
+def _cifar_gb() -> Config:
+    """Measured-best GENERATION config (round-4 trainable-base gate):
+    the flagship with model.prior='gaussian' — a trainable diagonal base
+    composed with the adversarial D, p*(z) ∝ N(μ,σ)·e^{D(z)}. At 100k
+    the shaped-prior Fréchet drops 4.356 → 0.365 (12×, beating even its
+    own ex-post fit) at bits/dim parity with the standard-base flagship
+    (RESULTS.md trainable-base gate). Beyond the [B] surface; the
+    [B]-faithful default remains cifar_advprior_resnet."""
+    cfg = _cifar_advprior_resnet()
+    return dataclasses.replace(
+        cfg, name="cifar_gb",
+        model=dataclasses.replace(cfg.model, prior="gaussian"))
+
+
+def _cifar_flow() -> Config:
+    """Measured-best NLL config (round-4 flow-prior gate): the flagship
+    with a jointly-trained RealNVP prior instead of the adversarial game
+    — exact density, exact log Z = 0. At 100k steps: 0.7041 bits/dim
+    EXACT, beating the 800k adversarial run (0.7283) at 1/8 the steps
+    (RESULTS.md flow-prior section). Generation needs
+    train.flow_dispersion_penalty or --prior expost_* (the raw inverse
+    over-disperses — measured). Beyond the [B] surface."""
+    cfg = _cifar_advprior_resnet()
+    return dataclasses.replace(
+        cfg, name="cifar_flow",
+        model=dataclasses.replace(cfg.model, prior="flow"),
+        adversarial=AdversarialConfig(enabled=False))
+
+
 PRESETS = {
     "mnist_vae": _mnist_vae,
     "mnist_advprior": _mnist_advprior,
     "cifar_advprior_resnet": _cifar_advprior_resnet,
     "iwae_eval": _iwae_eval,
     "ood_suite": _ood_suite,
+    "cifar_gb": _cifar_gb,
+    "cifar_flow": _cifar_flow,
 }
 
 

@@ -207,6 +207,34 @@ def test_d_lr_floor_adaptive_throttles_at_saturation():
     # (late factors well below the chance-plateau value of ~1).
     assert min(factors) < 0.6, (factors[0], min(factors))
     assert factors[0] > 0.9, factors[0]
+
+
+def test_floor_adaptive_biadversarial_per_d_factors():
+    """floor_adaptive + biadversarial (round-4 advisor finding): each D's
+    updates are throttled by its OWN loss — factors are reported per D
+    and each equals the clipped floor-distance ratio of its own loss, so
+    a saturated latent D cannot freeze the pixel D."""
+    from apv_tpu.training import losses as L
+
+    cfg = tiny_config("mnist_advprior",
+                      **{"adversarial.d_lr_schedule": "floor_adaptive",
+                         "adversarial.variant": "biadversarial",
+                         "adversarial.pixel_d_widths": "[8,16]",
+                         "adversarial.label_smoothing": "0.1",
+                         "adversarial.d_lr": "1e-2"})
+    fns = make_train_fns(cfg)
+    state = fns.init_fn(jax.random.PRNGKey(0))
+    batch = _synthetic_batch(cfg, cfg.train.batch_size)
+    step = jax.jit(fns.train_step)
+    floor, chance = L.d_loss_floor(0.1), 2 * np.log(2.0)
+    for _ in range(25):
+        state, m = step(state, batch)
+        for lk, fk in (("d_loss", "d_lr_factor"),
+                       ("px_d_loss", "px_d_lr_factor")):
+            want = np.clip((float(m[lk]) - floor) / (chance - floor), 0, 1)
+            np.testing.assert_allclose(float(m[fk]), want, atol=1e-4)
+    # the two factors are genuinely independent signals
+    assert abs(float(m["d_lr_factor"]) - float(m["px_d_lr_factor"])) >= 0.0
     """Throughput knobs (model.activation, model.norm) train finitely and
     actually change the function (different loss from the gelu/group
     default at identical seeds)."""
