@@ -32,9 +32,11 @@ def test_flow_prior_guards():
     with pytest.raises(ValueError, match="mutually exclusive"):
         make_train_fns(tiny_config("mnist_advprior",
                                    **{"model.prior": "flow"}))
-    with pytest.raises(ValueError, match="free_bits"):
-        make_train_fns(tiny_config("mnist_vae", **{
-            "model.prior": "flow", "train.free_bits": 0.25}))
+    # round 5: free_bits now COMPOSES with trainable priors (the
+    # free-information total-KL floor — losses.free_information_kl);
+    # the old blanket ban must NOT raise.
+    make_train_fns(tiny_config("mnist_vae", **{
+        "model.prior": "flow", "train.free_bits": 0.25}))
 
 
 def test_flow_prior_params_and_identity_nll():
