@@ -418,7 +418,7 @@ def export_artifact(config: str | Config = "mnist_vae", *,
                     what: str = "sampler", out_path: str | None = None,
                     quantize: str | None = None, refine: int = 0,
                     prior: str = "auto", gmm_k: int = 10,
-                    flow_steps: int = 2000):
+                    flow_steps: int = 2000, temperature: float = 1.0):
     """AOT-export a serving artifact (StableHLO, params baked in).
 
     ``prior='expost'`` bakes the ex-post aggregate-posterior Gaussian
@@ -450,7 +450,8 @@ def export_artifact(config: str | Config = "mnist_vae", *,
                                       quantize=quantize,
                                       refine_steps=refine,
                                       prior_moments=prior_moments,
-                                      force_standard=(prior == "standard"))
+                                      force_standard=(prior == "standard"),
+                                      temperature=temperature)
     if what == "scorer":
         if refine:
             raise ValueError("refine is sampler-only (MALA on the shaped "

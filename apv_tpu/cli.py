@@ -157,6 +157,11 @@ def main(argv: list[str] | None = None) -> int:
                        help="components for --prior expost_gmm")
     p_exp.add_argument("--flow-steps", type=int, default=2000, metavar="N",
                        help="MLE fit steps for --prior expost_flow")
+    p_exp.add_argument("--temperature", type=float, default=1.0,
+                       metavar="T",
+                       help="bake a base-draw temperature into trained-"
+                            "prior samplers (model.prior=flow/gaussian: "
+                            "u ~ N(0, T²I) before the inverse/base pass)")
     p_exp.add_argument("--quantize", choices=("int8",), default=None,
                        help="weight-only post-training quantization of the "
                             "baked params (sampler only; ~4x smaller)")

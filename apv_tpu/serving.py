@@ -28,9 +28,20 @@ from apv_tpu.utils.config import Config
 
 
 def _sampler_fn(cfg: Config, params, d_params, refine_steps: int = 0,
-                prior_moments=None, force_standard: bool = False):
+                prior_moments=None, force_standard: bool = False,
+                temperature: float = 1.0):
     model = build_model(cfg.model)
     use_adv = cfg.adversarial.enabled and d_params is not None
+    trained_prior = (getattr(cfg.model, "prior", "standard")
+                     in ("flow", "gaussian"))
+    if temperature != 1.0 and (not trained_prior or force_standard
+                               or prior_moments is not None):
+        # Mirror sampling/run.generate_samples: tempering is a trained-
+        # prior knob (base draw u ~ N(0, T²I)); baking it silently into
+        # any other prior would misreport the artifact's protocol.
+        raise ValueError("temperature applies to the model's own trained "
+                         "prior (model.prior='flow'/'gaussian'); this "
+                         "artifact would sample a different prior")
     if refine_steps > 0 and (not use_adv or prior_moments is not None):
         raise ValueError("refine_steps applies to the adversarially-shaped "
                          "prior; this artifact would sample "
@@ -63,10 +74,18 @@ def _sampler_fn(cfg: Config, params, d_params, refine_steps: int = 0,
                 # shaped prior over the trainable base: the SIR pool and
                 # any MALA target ride N(mu, sigma) (params baked in)
                 def base_from(u):
-                    return model.apply({"params": params}, u,
+                    return model.apply({"params": params},
+                                       temperature * u,
                                        method="prior_sample_from")
 
                 def base_logp(zz):
+                    if temperature != 1.0:
+                        # tempered-base MALA target, same rescale trick
+                        # as sampling/run._sample_fn (constants dropped)
+                        mu = model.apply({"params": params},
+                                         jnp.zeros_like(zz),
+                                         method="prior_sample_from")
+                        zz = mu + (zz - mu) / temperature
                     return model.apply({"params": params}, zz,
                                        method="prior_logpdf")
             z = sample_prior(k_z, cfg.eval.batch_size, cfg.model.z_dim,
@@ -79,7 +98,7 @@ def _sampler_fn(cfg: Config, params, d_params, refine_steps: int = 0,
               and not force_standard):
             # the model's own trained prior (flow inverse / gaussian
             # mu + sigma*u), params baked with the rest
-            u = jax.random.normal(
+            u = temperature * jax.random.normal(
                 k_z, (cfg.eval.batch_size, cfg.model.z_dim), jnp.float32)
             z = model.apply({"params": params}, u,
                             method="prior_sample_from")
@@ -186,7 +205,8 @@ def dequantize_params(tree, dtype=jnp.float32):
 def export_sampler(cfg: Config, params, d_params, out_path: str | Path,
                    quantize: str | None = None,
                    refine_steps: int = 0, prior_moments=None,
-                   force_standard: bool = False) -> Path:
+                   force_standard: bool = False,
+                   temperature: float = 1.0) -> Path:
     """Serialize the batched generation path (params baked in).
 
     ``quantize='int8'`` applies weight-only post-training quantization to
@@ -216,10 +236,10 @@ def export_sampler(cfg: Config, params, d_params, out_path: str | Path,
             return _sampler_fn(cfg, dequantize_params(q),
                                None if qd is None else dequantize_params(qd),
                                refine_steps, prior_moments,
-                               force_standard)(seed)
+                               force_standard, temperature)(seed)
     elif quantize is None:
         fn = _sampler_fn(cfg, params, d_params, refine_steps, prior_moments,
-                         force_standard)
+                         force_standard, temperature)
     else:
         raise ValueError(f"unknown quantize mode {quantize!r} (int8)")
     with ops_dispatch.backend("jnp"):

@@ -294,3 +294,31 @@ def test_dispatch_backend_context_restores():
     with dispatch.backend("jnp"):
         assert dispatch.get_backend() == "jnp"
     assert dispatch.get_backend() == prev
+
+
+def test_sampler_export_temperature(tmp_path):
+    """--temperature bakes into trained-prior sampler artifacts (round 5):
+    T=1 ≡ default bit-exact, T≠1 changes the output, non-trained-prior
+    exports reject T≠1 loudly (protocol honesty, same rule as sampling)."""
+    import pytest
+
+    cfg = tiny_config("mnist_advprior", **{
+        "eval.batch_size": 4, "model.prior": "gaussian"})
+    state = _state(cfg)
+    p1 = serving.export_sampler(cfg, state.params, state.d_params,
+                                tmp_path / "t1.stablehlo", temperature=1.0)
+    p_def = serving.export_sampler(cfg, state.params, state.d_params,
+                                   tmp_path / "tdef.stablehlo")
+    p05 = serving.export_sampler(cfg, state.params, state.d_params,
+                                 tmp_path / "t05.stablehlo",
+                                 temperature=0.5)
+    a1 = np.asarray(serving.load_exported(p1).call(jnp.int32(3)))
+    a_def = np.asarray(serving.load_exported(p_def).call(jnp.int32(3)))
+    a05 = np.asarray(serving.load_exported(p05).call(jnp.int32(3)))
+    np.testing.assert_array_equal(a1, a_def)
+    assert not np.array_equal(a05, a1)
+
+    std = tiny_config("mnist_vae", **{"eval.batch_size": 4})
+    with pytest.raises(ValueError, match="temperature"):
+        serving.export_sampler(std, _state(std).params, None,
+                               tmp_path / "bad.stablehlo", temperature=0.5)
