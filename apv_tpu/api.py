@@ -259,12 +259,15 @@ def sample(config: str | Config = "mnist_vae", *,
         return_diagnostics=True)
     if diag:
         print(json.dumps({"sampler_diagnostics": diag}))
-    # Non-default priors get suffixed artifact names (samples_expost.png,
-    # sample_quality_expost.json, ...) so an A/B over --prior can never
-    # overwrite the shaped-prior headline files pre-commit (round-4
-    # evidence-retention lesson; snapshot_watcher.py did this externally,
-    # now the entry point owns it).
+    # Non-default priors and temperatures get suffixed artifact names
+    # (samples_expost.png, sample_quality_T0.8.json, ...) so an A/B over
+    # --prior or --temperature can never overwrite the default-protocol
+    # headline files pre-commit (round-4 evidence-retention lesson;
+    # snapshot_watcher.py did this externally, now the entry point owns
+    # it).
     suffix = "" if prior == "auto" else f"_{prior}"
+    if temperature != 1.0:
+        suffix += f"_T{temperature:g}"
     path = (out_path
             or Path(cfg.results_dir) / cfg.name / f"samples{suffix}.png")
     save_image_grid(images, path)

@@ -93,6 +93,25 @@ def test_nondefault_priors_write_suffixed_artifacts(tmp_path):
     assert info["eval_expost"]["prior"] == "expost"
 
 
+def test_temperature_samples_write_suffixed_artifacts(tmp_path):
+    """--temperature != 1 suffixes sample artifacts too (_T{T}): a
+    temperature A/B must not clobber the T=1 headline files (round-5
+    session lesson, same hazard as the prior suffix)."""
+    cfg = tiny_config("mnist_vae", tmp_dir=str(tmp_path), **{
+        "model.prior": "flow", "model.prior_flow_layers": 2,
+        "model.prior_flow_hidden": 8,
+        "train.steps": 20, "train.checkpoint_every": 20,
+        "train.eval_every": 0, "data.synthetic_size": 128})
+    apv_tpu.train(cfg)
+    run = tmp_path / cfg.name
+    apv_tpu.sample(cfg, n=4, quality_n=16)
+    default_q = (run / "sample_quality.json").read_text()
+    apv_tpu.sample(cfg, n=4, quality_n=16, temperature=0.8)
+    assert (run / "samples_T0.8.png").exists()
+    assert (run / "sample_quality_T0.8.json").exists()
+    assert (run / "sample_quality.json").read_text() == default_q
+
+
 def test_result_writes_are_process0_only(tmp_path, monkeypatch):
     """Under jax.distributed every process runs the eval compute, but only
     process 0 may persist eval.json/ood.json — concurrent writers to one
